@@ -1,0 +1,347 @@
+"""Pure-Python deterministic kernel — the single source of reference semantics.
+
+Per SURVEY.md Caveat 1, the reference snapshot is missing its
+``ESGTextProcessor`` module, so this kernel *defines* the reference semantics
+for (a) text cleaning — an exact port of ``clean_text``
+(/root/reference/scripts/05_text_extraction.py:23-34), (b) HTML→text
+extraction (trafilatura-style, mandated by the build target; not present in
+the reference which starts from CSV), (c) tokenization
+(/root/reference/src/rag/graph_rag.py:306-310), and (d) the entity/relation
+extractor whose contract is recovered from call sites
+(/root/reference/scripts/01_text_processing.py:32-40,
+/root/reference/scripts/06_ontology_construction.py:39-55).
+
+Both the single-node oracle (esgkg/oracle.py) and the Spark pandas UDFs
+(esgkg/stages/*) call these exact functions, which is what makes the
+byte-identity and P/R gates meaningful.
+
+Everything is deterministic: no wall clock, no unseeded randomness, no
+platform-dependent hashing (blake2b/crc32 only, never Python ``hash``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import re
+import struct
+import unicodedata
+from typing import Iterable
+
+import numpy as np
+
+from . import vocab
+
+# ---------------------------------------------------------------------------
+# F1 — clean_text: exact port of /root/reference/scripts/05_text_extraction.py:23-34
+# ---------------------------------------------------------------------------
+
+_ZEN2HAN = str.maketrans("０１２３４５６７８９", "0123456789")
+_RE_NLTAB = re.compile(r"[\n\t]+")
+_RE_WS = re.compile(r"\s+")
+
+
+def clean_text(text: object) -> str:
+    """Normalize newlines/tabs, collapse whitespace, zenkaku digits → ASCII."""
+    if not isinstance(text, str):
+        return ""
+    text = _RE_NLTAB.sub(" ", text)
+    text = _RE_WS.sub(" ", text)
+    text = text.translate(_ZEN2HAN)
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# F2 — extract_text: deterministic trafilatura-style HTML→text
+# ---------------------------------------------------------------------------
+
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_RE_SCRIPT = re.compile(r"<(script|style|noscript)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_RE_BLOCK = re.compile(
+    r"</?(?:p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|section|article|"
+    r"header|footer|nav|main|aside|blockquote|pre|figure|figcaption|form|title|"
+    r"head|body|html)\b[^>]*>",
+    re.I,
+)
+_RE_TAG = re.compile(r"<[^>]+>")
+
+
+def extract_text(html: object) -> str:
+    """HTML bytes/str → visible text. Block tags become newlines; script,
+    style, noscript and comments are dropped; entities are unescaped.
+    Whitespace is NOT collapsed here — ``clean_text`` owns that step."""
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    if not isinstance(html, str):
+        return ""
+    s = _RE_COMMENT.sub(" ", html)
+    s = _RE_SCRIPT.sub(" ", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub("", s)
+    return _htmllib.unescape(s)
+
+
+def page_text(html: object) -> str:
+    """The per-url byte-identical invariant: clean_text ∘ extract_text."""
+    return clean_text(extract_text(html))
+
+
+# ---------------------------------------------------------------------------
+# F3 — tokenize: port of /root/reference/src/rag/graph_rag.py:306-310
+# (duplicated at /root/reference/src/evaluation/metrics.py:267-271)
+# ---------------------------------------------------------------------------
+
+_RE_PUNCT = re.compile(r"[、。！？「」『』（）［］\s]+")
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _RE_PUNCT.sub(" ", text).split(" ") if t]
+
+
+# ---------------------------------------------------------------------------
+# Sentence split (deterministic; JP + EN terminators)
+# ---------------------------------------------------------------------------
+
+_RE_SENT = re.compile(r"(?<=[。．！？!?.])\s*")
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s.strip() for s in _RE_SENT.split(text) if s.strip()]
+
+
+# ---------------------------------------------------------------------------
+# U1 — entity + relation extraction (dictionary NER + pattern RE)
+# Contract recovered from /root/reference/scripts/06_ontology_construction.py:39-55
+# and /root/reference/scripts/01_text_processing.py:32-40:
+#   process_text(text) -> {"entities": [{text, label}],
+#                          "relations": [{source, relation, target}]}
+# ---------------------------------------------------------------------------
+
+# Company-name pattern: katakana/latin/digit stem (optionally with ・)
+# followed by a corporate suffix.
+_ORG_PAT = (
+    r"[ァ-ヶー一-龯々A-Za-z0-9０-９Ａ-Ｚａ-ｚ・]+(?:株式会社|ホールディングス)"
+    r"|[A-Z][A-Za-z0-9]*(?:[ 　][A-Z][A-Za-z0-9]*)*[ 　](?:Inc|Corp|Ltd|Holdings)"
+)
+_LAW_PAT = "|".join(re.escape(x) for x in vocab.LAWS)
+
+
+class Extractor:
+    """Compiled dictionary NER + template relation extractor.
+
+    Build once per process / per Spark partition (Iterator pandas UDF init);
+    stateless and deterministic afterwards.
+    """
+
+    def __init__(self) -> None:
+        surfaces = vocab.all_concept_surfaces()
+        self.surface_to_concept = surfaces
+        concept_alt = "|".join(
+            re.escape(s) for s in sorted(surfaces, key=lambda x: (-len(x), x))
+        )
+        # Order matters: LAW beats CONCEPT beats ORG only via group order.
+        self.ent_re = re.compile(
+            f"(?P<LAW>{_LAW_PAT})|(?P<ORG>{_ORG_PAT})|(?P<CONCEPT>{concept_alt})"
+        )
+        ent = f"(?:{_LAW_PAT}|{_ORG_PAT}|{concept_alt})"
+        self.rel_res: list[tuple[str, re.Pattern[str]]] = []
+        for pred, ja_tpl, en_tpl in vocab.RELATION_TEMPLATES:
+            for tpl in (ja_tpl, en_tpl):
+                head, rest = tpl.split("{s}")[1].split("{o}")
+                pat = (
+                    f"(?P<s>{ent}){re.escape(head)}"
+                    f"(?P<o>{ent}){re.escape(rest.rstrip('。.'))}"
+                )
+                self.rel_res.append((pred, re.compile(pat)))
+
+    def entities(self, sentence: str) -> list[tuple[str, str, int, int]]:
+        """Non-overlapping left-to-right longest matches → (text, label, begin, end)."""
+        out = []
+        for m in self.ent_re.finditer(sentence):
+            label = m.lastgroup or "CONCEPT"
+            out.append((m.group(0), label, m.start(), m.end()))
+        return out
+
+    def relations(self, sentence: str) -> list[tuple[str, str, str]]:
+        """Template matches → (source_surface, pred, target_surface)."""
+        out = []
+        for pred, rx in self.rel_res:
+            for m in rx.finditer(sentence):
+                out.append((m.group("s"), pred, m.group("o")))
+        return out
+
+    def process_text(self, text: str) -> dict:
+        """The recovered ESGTextProcessor.process_text contract."""
+        entities: list[dict] = []
+        relations: list[dict] = []
+        seen_e: set[tuple[str, str]] = set()
+        seen_r: set[tuple[str, str, str]] = set()
+        for sent in split_sentences(text):
+            for surface, label, _, _ in self.entities(sent):
+                key = (surface, label)
+                if key not in seen_e:
+                    seen_e.add(key)
+                    entities.append({"text": surface, "label": label})
+            for s, pred, o in self.relations(sent):
+                key = (s, pred, o)
+                if key not in seen_r:
+                    seen_r.add(key)
+                    relations.append({"source": s, "relation": pred, "target": o})
+        return {"entities": entities, "relations": relations}
+
+
+_EXTRACTOR: Extractor | None = None
+
+
+def get_extractor() -> Extractor:
+    global _EXTRACTOR
+    if _EXTRACTOR is None:
+        _EXTRACTOR = Extractor()
+    return _EXTRACTOR
+
+
+def extract_triples(text: str, url: str) -> list[tuple[str, str, str, str]]:
+    """Full per-page triple emission: template relations plus
+    (org, instance_of, Organization) for ORG/LAW-routed entities
+    (routing per /root/reference/scripts/06_ontology_construction.py:42-47,
+    add_instance per ontology.py:110)."""
+    ex = get_extractor()
+    res = ex.process_text(text)
+    triples: list[tuple[str, str, str, str]] = []
+    seen: set[tuple[str, str, str]] = set()
+    for r in res["relations"]:
+        key = (r["source"], r["relation"], r["target"])
+        if key not in seen:
+            seen.add(key)
+            triples.append((r["source"], r["relation"], r["target"], url))
+    for e in res["entities"]:
+        if e["label"] in vocab.INSTANCE_LABELS:
+            key = (e["text"], "instance_of", "Organization")
+            if key not in seen:
+                seen.add(key)
+                triples.append((e["text"], "instance_of", "Organization", url))
+    return triples
+
+
+def categorize(text: str) -> list[str]:
+    """Multi-label E/S/G category per the reference keyword predicate
+    (/root/reference/scripts/05_text_extraction.py:85-106)."""
+    return [
+        cat
+        for cat, kws in vocab.CATEGORY_KEYWORDS.items()
+        if any(kw in text for kw in kws)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashing (minhash / simhash / fingerprint / embeddings)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def stable_hash64(s: str, seed: int = 0) -> int:
+    """Deterministic 64-bit hash (blake2b keyed by seed)."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")
+    )
+    return struct.unpack("<Q", h.digest())[0]
+
+
+def char_shingles(s: str, n: int = 3) -> set[str]:
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(7919)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+_MH_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(s: str, k: int = 32, ngram: int = 3) -> np.ndarray:
+    """k 64-bit minhashes over char n-gram shingles (affine transforms of one
+    blake2b base hash per shingle; all arithmetic mod 2^61-1)."""
+    if k not in _MH_CACHE:
+        _MH_CACHE[k] = _minhash_params(k)
+    a, b = _MH_CACHE[k]
+    sh = char_shingles(s, ngram)
+    if not sh:
+        return np.zeros(k, dtype=np.int64)
+    base = np.array(
+        [stable_hash64(g) % _MERSENNE for g in sorted(sh)], dtype=np.uint64
+    )
+    # (a*h + b) mod p, vectorized over shingles x k via object-free uint math
+    sig = np.empty(k, dtype=np.int64)
+    for i in range(k):
+        vals = (base * np.uint64(a[i]) + np.uint64(b[i])) % np.uint64(_MERSENNE)
+        sig[i] = int(vals.min())
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> list[int]:
+    """Split signature into bands, hash each band → bucket key."""
+    rows = len(sig) // bands
+    out = []
+    for bi in range(bands):
+        chunk = sig[bi * rows : (bi + 1) * rows]
+        h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        out.append(struct.unpack("<q", h)[0])
+    return out
+
+
+def jaccard(a: str, b: str, ngram: int = 3) -> float:
+    sa, sb = char_shingles(a, ngram), char_shingles(b, ngram)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def simhash64(tokens: Iterable[str]) -> int:
+    """64-bit SimHash over token stream."""
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = stable_hash64(t, seed=31)
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # signed for Spark LongType
+
+
+def fingerprint64(text: str) -> int:
+    """Document content fingerprint (signed 64-bit blake2b)."""
+    return struct.unpack(
+        "<q", hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest()
+    )[0]
+
+
+# ---------------------------------------------------------------------------
+# U6 — deterministic hash-embedding stub (sandbox replacement for the
+# transformer encoder /root/reference/src/rag/graph_rag.py:70-94; L2-normalized
+# so cosine == dot, matching the reference's normalize step at :92-94)
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+
+
+def hash_embed(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Char-3gram feature hashing into `dim` buckets with ±1 signs, L2-normed."""
+    v = np.zeros(dim, dtype=np.float64)
+    norm = unicodedata.normalize("NFKC", text).lower()
+    grams = [norm[i : i + 3] for i in range(max(1, len(norm) - 2))]
+    for g in grams:
+        h = stable_hash64(g, seed=5)
+        v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
