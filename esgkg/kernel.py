@@ -305,6 +305,31 @@ def jaccard(a: str, b: str, ngram: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def edit_similarity(a: str, b: str) -> float:
+    """1 - levenshtein/max_len — the precision-side pair verifier. LSH-Jaccard
+    gives candidate recall; this rejects lookalikes that share shingles but
+    differ structurally (e.g. same-sector company names with near stems)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cur = [j] + [0] * la
+        bj = b[j - 1]
+        for i in range(1, la + 1):
+            cur[i] = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (a[i - 1] != bj),
+            )
+        prev = cur
+    return 1.0 - prev[la] / lb
+
+
 def simhash64(tokens: Iterable[str]) -> int:
     """64-bit SimHash over token stream."""
     acc = np.zeros(64, dtype=np.int64)

@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over a document table:
+
+* exact      — hash groupBy; keeper = min(doc_id) per identical text.
+* minhash    — MinHash+LSH near-dup: shingle → minhash → band → bucket join
+               (same machinery as canonicalization, tuned for documents).
+* simhash    — 64-bit SimHash over tokens; near-dups = small hamming distance
+               within same band prefix.
+* ngram/char jaccard — exact verified similarity on bounded candidate sets.
+
+Scale notes: every family is blocking-based (no all-pairs cross join). The
+LSH band groupBy is the only shuffle; bucket-size caps bound the pair
+explosion from boilerplate-heavy corpora (the classic web-dedup skew).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import session as _session
+from ..stages import canon
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (keep_id, n_dupes). JVM-side only."""
+    return (
+        docs.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes")
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The surviving rows after exact dedup (keeper = min id per text)."""
+    keep = exact_dedup(docs, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col)
+
+
+def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           k: int = 32, bands: int = 16,
+                           shingle: int = 5,
+                           jaccard_threshold: float = 0.7,
+                           max_bucket: int = 64) -> DataFrame:
+    """Near-duplicate id pairs via MinHash-LSH + exact-Jaccard verify.
+
+    Shingles are character n-grams of the document text (word-shingles are a
+    one-line change in the kernel)."""
+    _session.ensure_shipped(docs.sparkSession)
+
+    bands_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("band_id", T.IntegerType(), False),
+            T.StructField("band_hash", T.LongType(), False),
+        ]
+    )
+
+    def mk_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if not t:
+                    continue
+                sig = kernel.minhash_signature(t, k=k, ngram=shingle)
+                for bi, bh in enumerate(kernel.band_hashes(sig, bands)):
+                    rows.append((int(i), bi, bh))
+            yield pd.DataFrame(rows, columns=["id", "band_id", "band_hash"])
+
+    b = docs.select(id_col, text_col).mapInPandas(mk_bands, schema=bands_schema)
+    sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    ok = b.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+    l, r = ok.alias("l"), ok.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    texts = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
+    cand = cand.join(texts, "a").join(
+        docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb")), "b"
+    )
+
+    verify_schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False),
+            T.StructField("jaccard", T.DoubleType(), False),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            out = pdf[["a", "b"]].copy()
+            out["jaccard"] = [
+                kernel.jaccard(ta, tb, shingle)
+                for ta, tb in zip(pdf["ta"], pdf["tb"])
+            ]
+            yield out
+
+    return (
+        cand.mapInPandas(verify, schema=verify_schema)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def minhash_dedup_components(docs: DataFrame, **kw) -> DataFrame:
+    """Near-dup clusters: (id, cluster_id) via connected components over the
+    verified pair graph (cluster representative = min id)."""
+    pairs = minhash_near_dup_pairs(docs, **kw).select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    )
+    comp = canon.connected_components(pairs)
+    return comp.select(
+        F.col("surface").cast("long").alias("doc_id"),
+        F.col("canonical").cast("long").alias("cluster_id"),
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) 64-bit token-level SimHash per document."""
+    _session.ensure_shipped(docs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            rows = [
+                (int(i), kernel.simhash64(kernel.tokenize(t or "")))
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=["id", "simhash"])
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
+                           **kw) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit prefix bands (a pair within
+    hamming distance d ≤ 3 of a 64-bit hash agrees exactly on at least one of
+    4 16-bit bands — pigeonhole), verify exact hamming distance JVM-side."""
+    sig = simhash_signatures(docs, **kw)
+    bands = []
+    for bi in range(4):
+        bands.append(
+            sig.select(
+                "id",
+                "simhash",
+                F.lit(bi).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), bi * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+        )
+    b = bands[0]
+    for x in bands[1:]:
+        b = b.union(x)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def char_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       block_col: str = "n_chars",
+                       threshold: float = 0.5) -> DataFrame:
+    """Character-set Jaccard similarity pairs within equal-`block_col` blocks
+    (bounded candidate set) — fully JVM-side (no Python), and expressible in
+    ANSI SQL for the differential oracle."""
+    chars = F.array_distinct(F.split(F.col(text_col), ""))
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        chars.alias("chars"),
+    )
+    l, r = d.alias("l"), d.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.chars"), F.col("r.chars")))
+    union = F.size(F.array_union(F.col("l.chars"), F.col("r.chars")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

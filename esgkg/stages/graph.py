@@ -1,0 +1,241 @@
+"""Graph materialization + traversal/metrics operators.
+
+Replaces the reference's Neo4j layer
+(/root/reference/src/knowledge_graph/neo4j_manager.py) with DataFrame tables:
+
+* nodes(id, name, category, kind, attributes) — kind routing per
+  /root/reference/scripts/06_ontology_construction.py:42-47; E/S/G category
+  from the full hierarchy closure (fixing the depth-limited membership bug of
+  neo4j_manager.py:118-126 — documented divergence, SURVEY.md S8).
+* edges(src, dst, relation, confidence, url) — endpoint inner-join before
+  write reproduces Cypher MATCH-then-MERGE silent-drop semantics
+  (neo4j_manager.py:88-92): an edge whose endpoint is missing is dropped.
+
+ids are deterministic 64-bit name hashes (stable across runs/executors —
+never monotonically_increasing_id, which is partition-layout dependent).
+
+Traversals (bounded BFS = Cypher `ESG_RELATION*1..d`, neo4j_manager.py:155-167)
+and structural metrics (orphans, degrees) are DataFrame joins/aggregations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import session as _session
+from .. import vocab
+
+
+def _name_id(col):
+    # xxhash64 is Spark-native, deterministic, seedable; good enough for ids.
+    return F.xxhash64(col, F.lit(42))
+
+
+def seed_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """The ontology seed (D6) as nodes/edges DataFrames."""
+    cat = vocab.concept_category()
+    node_rows = [("ROOT", "Other", "Concept")] + [
+        (c, cat.get(c, "Other"), "Concept") for c, _, _ in vocab.HIERARCHY
+    ] + [(law, cat.get(law, "Other"), "Concept") for law in vocab.LAWS]
+    edge_rows = [(c, p, r) for c, p, r in vocab.HIERARCHY]
+    nodes = spark.createDataFrame(
+        sorted(set(node_rows)), "name string, category string, kind string"
+    )
+    edges = spark.createDataFrame(
+        sorted(set(edge_rows)), "src_name string, dst_name string, relation string"
+    )
+    return nodes, edges
+
+
+def materialize(
+    triples: DataFrame, spark: SparkSession
+) -> tuple[DataFrame, DataFrame]:
+    """canonical triples (+ seed) → (nodes, edges).
+
+    Node kind: a name that ever appears as subject of instance_of is an
+    Instance, else Concept (scripts/06:42-47 routing applied post-linking).
+    Category: hierarchy-closure category for dictionary concepts; Instances
+    and unknown surfaces get 'Other' (classify-miss semantics of
+    scripts/06:108-113)."""
+    _session.ensure_shipped(spark)
+    seed_nodes, seed_edges = seed_graph(spark)
+
+    mentioned = (
+        triples.select(F.col("subj").alias("name"))
+        .union(triples.select(F.col("obj").alias("name")))
+        .distinct()
+    )
+    instances = (
+        triples.filter(F.col("pred") == "instance_of")
+        .select(F.col("subj").alias("name"))
+        .distinct()
+        .withColumn("is_instance", F.lit(True))
+    )
+    cat = vocab.concept_category()
+    cat_df = F.broadcast(
+        triples.sparkSession.createDataFrame(
+            sorted(cat.items()), "name string, cat string"
+        )
+    )
+    nodes = (
+        mentioned.join(instances, "name", "left")
+        .join(cat_df, "name", "left")
+        .select(
+            "name",
+            F.coalesce("cat", F.lit("Other")).alias("category"),
+            F.when(F.col("is_instance"), F.lit("Instance"))
+            .otherwise(F.lit("Concept"))
+            .alias("kind"),
+        )
+        .unionByName(seed_nodes)
+        .dropDuplicates(["name"])
+        .withColumn("id", _name_id(F.col("name")))
+        .select("id", "name", "category", "kind")
+    )
+
+    all_edges = triples.select(
+        F.col("subj").alias("src_name"),
+        F.col("obj").alias("dst_name"),
+        F.col("pred").alias("relation"),
+        "confidence",
+        "url",
+    ).unionByName(
+        seed_edges.withColumn("confidence", F.lit(1.0)).withColumn(
+            "url", F.lit("seed://ontology")
+        )
+    )
+    # J3 endpoint-existence inner joins (silent-drop semantics); the name
+    # dimension is orders of magnitude smaller than the edge stream, so
+    # broadcast both lookups (at dictionary sizes past the broadcast
+    # threshold this becomes a bucketed join on the name hash)
+    names = nodes.select("name", "id")
+    edges = (
+        all_edges.join(
+            F.broadcast(
+                names.withColumnRenamed("name", "src_name").withColumnRenamed(
+                    "id", "src"
+                )
+            ),
+            "src_name",
+        )
+        .join(
+            F.broadcast(
+                names.withColumnRenamed("name", "dst_name").withColumnRenamed(
+                    "id", "dst"
+                )
+            ),
+            "dst_name",
+        )
+        .select("src", "dst", "relation", "confidence", "url")
+        .dropDuplicates(["src", "dst", "relation"])
+    )
+    return nodes, edges
+
+
+# ---------------------------------------------------------------------------
+# Traversal + metrics
+# ---------------------------------------------------------------------------
+
+def bfs(edges: DataFrame, start_ids: DataFrame, max_depth: int,
+        relation: str | None = None) -> DataFrame:
+    """G1 — variable-length path expansion from seed nodes:
+    (node, depth, path_relations). Iterative frontier⋈edges with per-round
+    dedup, matching Cypher `-[r:ESG_RELATION*1..d]->` + optional
+    ALL(rel.type = $t) filter (neo4j_manager.py:155-167)."""
+    e = edges
+    if relation is not None:
+        e = e.filter(F.col("relation") == relation)
+    e = e.select("src", "dst", "relation")
+
+    frontier = start_ids.select(F.col(start_ids.columns[0]).alias("node"))
+    visited = frontier.withColumn("depth", F.lit(0)).withColumn(
+        "path_relations", F.array().cast("array<string>")
+    )
+    for d in range(1, max_depth + 1):
+        step = (
+            frontier.join(e, frontier.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.col("relation"),
+            )
+            .distinct()
+        )
+        if step.isEmpty():
+            break
+        new = (
+            step.join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).alias("depth"),
+                    F.array(F.col("relation")).alias("path_relations"))
+            .dropDuplicates(["node"])
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return visited
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, in_deg, out_deg) — A6 building block."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return out_d.join(in_d, "id", "full").select(
+        "id",
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+    )
+
+
+def orphans(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """G5 — nodes with no incident edge (left-anti against src ∪ dst)."""
+    touched = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return nodes.join(touched, "id", "left_anti")
+
+
+def subconcepts(edges: DataFrame, nodes: DataFrame, concept: str) -> DataFrame:
+    """G2 — is_a children of a concept; the reference's O(N) node scan
+    (ontology.py:128-133) becomes a pruned filter + join."""
+    target = nodes.filter(F.col("name") == concept).select(
+        F.col("id").alias("dst")
+    )
+    return (
+        edges.filter(F.col("relation") == "is_a")
+        .join(F.broadcast(target), "dst")
+        .join(nodes.withColumnRenamed("id", "src"), "src")
+        .select("name")
+    )
+
+
+def embed_nodes(nodes: DataFrame) -> DataFrame:
+    """U6 — deterministic hash embeddings for node names (L2-normalized,
+    cosine == dot; incremental-fill pattern J5 is an anti-join against a
+    previously materialized table, see stages/manifest.py)."""
+    _session.ensure_shipped(nodes.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("vec", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from esgkg import kernel
+
+        for pdf in batches:
+            out = pdf[["id", "name"]].copy()
+            out["vec"] = [kernel.hash_embed(n).tolist() for n in pdf["name"]]
+            yield out
+
+    return nodes.select("id", "name").mapInPandas(run, schema=schema)
