@@ -63,60 +63,81 @@ def cosine_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
     )
 
 
-def hyperplane_signatures(embeddings: DataFrame, n_planes: int = 8,
+def _lsh_planes(dim: int, n_tables: int, n_planes: int,
+                seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, dim, n_planes))
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_tables: int = 12,
+                          n_planes: int = 6,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           seed: int = 1234) -> DataFrame:
-    """(id, bucket) random-hyperplane LSH signature per vector."""
+    """(id, table, bucket) multi-table random-hyperplane LSH signatures —
+    L independent tables of b bits each (standard recall amplification:
+    P(candidate) = 1-(1-p^b)^L for per-plane agreement p)."""
     _session.ensure_shipped(embeddings.sparkSession)
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),
+            T.StructField("table", T.IntegerType(), False),
             T.StructField("bucket", T.IntegerType(), False),
         ]
     )
+    pows = 1 << np.arange(n_planes)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            dim = len(pdf[vec_col].iloc[0])
             if planes is None:
-                rng = np.random.RandomState(seed)
-                planes = rng.standard_normal((dim, n_planes))
+                planes = _lsh_planes(
+                    len(pdf[vec_col].iloc[0]), n_tables, n_planes, seed
+                )
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (mat @ planes) > 0
-            buckets = bits.dot(1 << np.arange(n_planes)).astype(np.int32)
-            yield pd.DataFrame({"id": pdf[id_col].astype(np.int64),
-                                "bucket": buckets})
+            ids = pdf[id_col].astype(np.int64).to_numpy()
+            frames = []
+            for t in range(n_tables):
+                buckets = ((mat @ planes[t]) > 0).dot(pows).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {"id": ids, "table": np.int32(t), "bucket": buckets}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
 def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
-             n_planes: int = 8, id_col: str = "vec_id",
+             n_tables: int = 12, n_planes: int = 6,
+             id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 1234,
              probe_hamming: int = 1) -> DataFrame:
-    """LSH-bucketed approximate top-k: score only vectors whose hyperplane
-    bucket is within `probe_hamming` bits of the query's bucket."""
+    """Multi-table LSH approximate top-k: score only vectors that share a
+    bucket (within `probe_hamming` bits) with the query in ANY table."""
     q = np.asarray(qvec, dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((len(q), n_planes))
-    qbits = (q @ planes) > 0
-    qbucket = int(qbits.dot(1 << np.arange(n_planes)))
-    # enumerate probe buckets within hamming distance
-    buckets = {qbucket}
-    if probe_hamming >= 1:
-        for i in range(n_planes):
-            buckets.add(qbucket ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                buckets.add(qbucket ^ (1 << i) ^ (1 << j))
-
-    sig = hyperplane_signatures(embeddings, n_planes, id_col, vec_col, seed)
-    cand_ids = sig.filter(F.col("bucket").isin(sorted(buckets))).select("id")
+    planes = _lsh_planes(len(q), n_tables, n_planes, seed)
+    pows = 1 << np.arange(n_planes)
+    probe_rows = []
+    for t in range(n_tables):
+        qb = int(((q @ planes[t]) > 0).dot(pows))
+        buckets = {qb}
+        if probe_hamming >= 1:
+            for i in range(n_planes):
+                buckets.add(qb ^ (1 << i))
+        for b in buckets:
+            probe_rows.append((t, b))
+    spark = embeddings.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame(probe_rows, "table int, bucket int")
+    )
+    sig = hyperplane_signatures(
+        embeddings, n_tables, n_planes, id_col, vec_col, seed
+    )
+    cand_ids = sig.join(probes, ["table", "bucket"]).select("id").distinct()
     cand = embeddings.join(
         cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
     )

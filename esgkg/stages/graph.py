@@ -65,16 +65,24 @@ def materialize(
     _session.ensure_shipped(spark)
     seed_nodes, seed_edges = seed_graph(spark)
 
-    mentioned = (
-        triples.select(F.col("subj").alias("name"))
-        .union(triples.select(F.col("obj").alias("name")))
-        .distinct()
-    )
-    instances = (
-        triples.filter(F.col("pred") == "instance_of")
-        .select(F.col("subj").alias("name"))
-        .distinct()
-        .withColumn("is_instance", F.lit(True))
+    # one pass over the triple stream: explode both endpoints with an
+    # is-instance flag, aggregate per name (single shuffle instead of two
+    # distincts + a join — this stage runs over the full triple table)
+    ends = triples.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("name"),
+                    (F.col("pred") == "instance_of").alias("is_inst"),
+                ),
+                F.struct(
+                    F.col("obj").alias("name"), F.lit(False).alias("is_inst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    names_agg = ends.groupBy("name").agg(
+        F.max("is_inst").alias("is_instance")
     )
     cat = vocab.concept_category()
     cat_df = F.broadcast(
@@ -83,8 +91,7 @@ def materialize(
         )
     )
     nodes = (
-        mentioned.join(instances, "name", "left")
-        .join(cat_df, "name", "left")
+        names_agg.join(cat_df, "name", "left")
         .select(
             "name",
             F.coalesce("cat", F.lit("Other")).alias("category"),
@@ -215,6 +222,89 @@ def subconcepts(edges: DataFrame, nodes: DataFrame, concept: str) -> DataFrame:
         .join(nodes.withColumnRenamed("id", "src"), "src")
         .select("name")
     )
+
+
+def export_ontology_json(nodes: DataFrame, edges: DataFrame,
+                         path: str) -> None:
+    """S4/D9 — small-export debug format matching the reference's JSON
+    layout (/root/reference/src/knowledge_graph/ontology.py:170-188):
+    {"nodes": [...names...], "edges": [{source, target, relation}],
+    "relations": {...}}. Canonical storage stays the parquet tables; this is
+    the interchange format only (collects to the driver — use on ontology-
+    scale graphs, not the full corpus graph)."""
+    import json
+
+    from .. import vocab
+
+    name_of = {r.id: r.name for r in nodes.select("id", "name").collect()}
+    edge_rows = edges.select("src", "dst", "relation").collect()
+    data = {
+        "nodes": sorted(name_of.values()),
+        "edges": sorted(
+            (
+                {
+                    "source": name_of[r.src],
+                    "target": name_of[r.dst],
+                    "relation": r.relation,
+                }
+                for r in edge_rows
+                if r.src in name_of and r.dst in name_of
+            ),
+            key=lambda d: (d["source"], d["relation"], d["target"]),
+        ),
+        "relations": {r: r for r in vocab.RELATIONS},
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(data, f, ensure_ascii=False, indent=2)
+
+
+def import_ontology_json(spark: SparkSession, path: str
+                         ) -> tuple[DataFrame, DataFrame]:
+    """Reload the S4 JSON into (nodes, edges) DataFrames
+    (reference reload semantics: ontology.py:190-220)."""
+    import json
+
+    from .. import vocab
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    cat = vocab.concept_category()
+    nodes = spark.createDataFrame(
+        [(n, cat.get(n, "Other"), "Concept") for n in data["nodes"]],
+        "name string, category string, kind string",
+    ).withColumn("id", _name_id(F.col("name"))).select(
+        "id", "name", "category", "kind"
+    )
+    names = {n for n in data["nodes"]}
+    edges = spark.createDataFrame(
+        [
+            (e["source"], e["target"], e["relation"])
+            for e in data["edges"]
+            if e["source"] in names and e["target"] in names
+        ],
+        "src_name string, dst_name string, relation string",
+    )
+    ids = nodes.select("name", "id")
+    edges = (
+        edges.join(
+            F.broadcast(
+                ids.withColumnRenamed("name", "src_name").withColumnRenamed(
+                    "id", "src"
+                )
+            ),
+            "src_name",
+        )
+        .join(
+            F.broadcast(
+                ids.withColumnRenamed("name", "dst_name").withColumnRenamed(
+                    "id", "dst"
+                )
+            ),
+            "dst_name",
+        )
+        .select("src", "dst", "relation")
+    )
+    return nodes, edges
 
 
 def embed_nodes(nodes: DataFrame) -> DataFrame:
