@@ -330,6 +330,141 @@ def _q20_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q21_top_third_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T4/F4 — the reference's keyword extractor: top floor(V/3) tokens by
+    # frequency (/root/reference/src/evaluation/metrics.py:273-280)
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = freq.count()
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= total // 3)
+        .select("token", "freq")
+    )
+
+
+def _q22_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E1-E3 — Hits@k / MRR / MAP as window+agg ops
+    # (/root/reference/src/evaluation/metrics.py:140-180). Deterministic
+    # fixture: per customer, "predicted" = parts ranked by total spend,
+    # "gold" = parts with total quantity >= 60.
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    k = 5
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "spend"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    w = Window.partitionBy("cust").orderBy(F.desc("spend"), F.asc("part"))
+    ranked = cp.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    hit = ranked.withColumn(
+        "hit", F.when(F.col("qty") >= 60, 1).otherwise(0)
+    )
+    run_w = (
+        Window.partitionBy("cust")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = hit.withColumn("cum", F.sum("hit").over(run_w)).withColumn(
+        "ap_term",
+        F.when(F.col("hit") == 1, F.col("cum") / F.col("rank")).otherwise(0.0),
+    )
+    per = hit.groupBy("cust").agg(
+        (F.sum("hit") / F.lit(k)).alias("hits_at_k"),
+        F.max(
+            F.when(F.col("hit") == 1, 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("rr"),
+        F.sum("hit").alias("n_hits"),
+        F.sum("ap_term").alias("ap_sum"),
+    )
+    per = per.withColumn(
+        "ap",
+        F.when(F.col("n_hits") > 0, F.col("ap_sum") / F.col("n_hits")).otherwise(0.0),
+    )
+    return per.agg(
+        F.round(F.avg("hits_at_k"), 6).alias("hits_at_k"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ap"), 6).alias("map"),
+        F.count("*").alias("n_queries"),
+    )
+
+
+def _q23_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6/G5 — degree metrics over the customer-part bipartite graph
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = edges.groupBy("cust").agg(F.count("*").alias("out_deg"))
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("out_deg").alias("max_deg"),
+        F.min("out_deg").alias("min_deg"),
+        F.round(F.avg("out_deg"), 6).alias("avg_deg"),
+    )
+
+
+def _q24_two_hop_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # G1-shaped bounded traversal with depth labels over the
+    # region -> nation -> customer hierarchy (frontier-join per round)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    d1 = r.join(n, r.r_regionkey == n.n_regionkey).select(
+        F.col("n_name").alias("node"), F.lit(1).alias("depth")
+    )
+    d2 = (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .select(F.col("c_name").alias("node"), F.lit(2).alias("depth"))
+    )
+    return d1.unionByName(d2)
+
+
+def _q25_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling-window aggregation (the streaming windowed-agg shape, batch
+    # semantics identical): hourly event counts + mean value per type
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -352,6 +487,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_predicted_links": _q18_predicted_links,
         "q19_ann_topk": _q19_ann_topk,
         "q20_knn_join": _q20_knn_join,
+        "q21_top_third_keywords": _q21_top_third_keywords,
+        "q22_ranking_metrics": _q22_ranking_metrics,
+        "q23_degree_stats": _q23_degree_stats,
+        "q24_two_hop_traversal": _q24_two_hop_traversal,
+        "q25_events_hourly_window": _q25_events_hourly_window,
     }
 
 
@@ -477,6 +617,86 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_html_roundtrip": """
             SELECT doc_id, text FROM documents
+        """,
+        "q21_top_third_keywords": """
+            WITH freq AS (
+                SELECT token, count(*) AS freq FROM (
+                    SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                ) WHERE token <> '' GROUP BY token
+            ), ranked AS (
+                SELECT token, freq,
+                       row_number() OVER (ORDER BY freq DESC, token ASC) AS rn
+                FROM freq
+            )
+            SELECT token, freq FROM ranked
+            WHERE rn <= (SELECT count(*) // 3 FROM freq)
+        """,
+        "q22_ranking_metrics": """
+            WITH cp AS (
+                SELECT o_custkey AS cust, l_partkey AS part,
+                       sum(l_extendedprice * (1 - l_discount)) AS spend,
+                       sum(l_quantity) AS qty
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY o_custkey, l_partkey
+            ), ranked AS (
+                SELECT cust, part, qty,
+                       row_number() OVER (PARTITION BY cust
+                                          ORDER BY spend DESC, part ASC) AS rank
+                FROM cp
+            ), hit AS (
+                SELECT cust, rank,
+                       CASE WHEN qty >= 60 THEN 1 ELSE 0 END AS hit
+                FROM ranked WHERE rank <= 5
+            ), cum AS (
+                SELECT cust, rank, hit,
+                       sum(hit) OVER (PARTITION BY cust ORDER BY rank
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hit
+            ), per AS (
+                SELECT cust,
+                       sum(hit) / 5.0 AS hits_at_k,
+                       max(CASE WHEN hit = 1 THEN 1.0 / rank ELSE 0.0 END) AS rr,
+                       sum(hit) AS n_hits,
+                       sum(CASE WHEN hit = 1 THEN cum * 1.0 / rank
+                                ELSE 0.0 END) AS ap_sum
+                FROM cum GROUP BY cust
+            )
+            SELECT round(avg(hits_at_k), 6) AS hits_at_k,
+                   round(avg(rr), 6) AS mrr,
+                   round(avg(CASE WHEN n_hits > 0 THEN ap_sum / n_hits
+                                  ELSE 0.0 END), 6) AS map,
+                   count(*) AS n_queries
+            FROM per
+        """,
+        "q23_degree_stats": """
+            WITH edges AS (
+                SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ), deg AS (
+                SELECT cust, count(*) AS out_deg FROM edges GROUP BY cust
+            )
+            SELECT count(*) AS n_nodes, max(out_deg) AS max_deg,
+                   min(out_deg) AS min_deg,
+                   round(avg(out_deg), 6) AS avg_deg
+            FROM deg
+        """,
+        "q24_two_hop_traversal": """
+            SELECT n_name AS node, 1 AS depth
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+            UNION ALL
+            SELECT c_name AS node, 2 AS depth
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+        """,
+        "q25_events_hourly_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
         # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.
