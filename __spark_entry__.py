@@ -465,6 +465,17 @@ def _q25_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q26_group_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 — group-into-sets (reference defaultdict(set) pattern,
+    # scripts/06:31-47): sorted distinct langs per source, joined to a
+    # string so the value compare is order-stable across engines
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -492,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_degree_stats": _q23_degree_stats,
         "q24_two_hop_traversal": _q24_two_hop_traversal,
         "q25_events_hourly_window": _q25_events_hourly_window,
+        "q26_group_sets": _q26_group_sets,
     }
 
 
@@ -697,6 +709,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
+        """,
+        "q26_group_sets": """
+            SELECT source,
+                   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
         """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
         # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.

@@ -216,11 +216,63 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
     )
 
 
+def canonical_map_local(surfaces: list[str],
+                        jaccard_threshold: float = 0.5,
+                        edit_threshold: float = 0.82,
+                        max_bucket: int = 64,
+                        ngram: int = 3, k: int = 32,
+                        bands: int = 16) -> dict[str, str]:
+    """Driver-side canonical map over a small distinct-surface set — the
+    exact same LSH banding + conjunctive verification + union-find the
+    distributed path computes, byte-for-byte (shared kernel functions).
+    Used by `canonical_map` below when the surface set fits on the driver."""
+    from collections import defaultdict
+
+    from .. import kernel
+
+    buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
+    for s in surfaces:
+        if not s:
+            continue
+        sig = kernel.minhash_signature(s, k=k, ngram=ngram)
+        for bi, bh in enumerate(kernel.band_hashes(sig, bands)):
+            buckets[(bi, bh)].append(s)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen_pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        ms = sorted(set(members))
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pair = (ms[i], ms[j])
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                if (
+                    kernel.jaccard(ms[i], ms[j], ngram) >= jaccard_threshold
+                    and kernel.edit_similarity(ms[i], ms[j]) >= edit_threshold
+                ):
+                    ra, rb = find(ms[i]), find(ms[j])
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+    return {s: find(s) if s in parent else s for s in surfaces}
+
+
 def canonical_map(surfaces: DataFrame, col: str = "surface",
                   jaccard_threshold: float = 0.5,
                   edit_threshold: float = 0.82,
                   max_bucket: int = 64,
-                  exclude_exact: list[str] | None = None) -> DataFrame:
+                  exclude_exact: list[str] | None = None,
+                  small_threshold: int = 100_000) -> DataFrame:
     """surface → canonical for every input surface (identity for singletons).
 
     Merging is the transitive closure over verified pairs: two variants that
@@ -240,6 +292,28 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
         .distinct()
         .localCheckpoint(eager=True)
     )
+    spark = surfaces.sparkSession
+    # scale-adaptive: the DISTINCT surface vocabulary is typically orders of
+    # magnitude smaller than the corpus; below the threshold run the exact
+    # same LSH+verify+union-find on the driver (identical output, none of
+    # the iterative-join latency). Above it, the distributed path.
+    head = all_s.limit(small_threshold + 1).collect()
+    if len(head) <= small_threshold:
+        excl = set(exclude_exact or ())
+        pool_local = [r[0] for r in head if r[0] and r[0] not in excl]
+        cm = canonical_map_local(
+            pool_local, jaccard_threshold, edit_threshold, max_bucket
+        )
+        rows = sorted(
+            (s, cm.get(s, s)) for s in (r[0] for r in head) if s is not None
+        )
+        if not rows:
+            return spark.createDataFrame(
+                [], "surface string, canonical string"
+            )
+        return spark.createDataFrame(
+            rows, "surface string, canonical string"
+        )
     pool = all_s
     if exclude_exact:
         pool = pool.filter(~F.col("surface").isin(exclude_exact))

@@ -93,6 +93,28 @@ def test_fused_equals_modular(spark, text_df):
     assert fused == modular
 
 
+def test_canonical_map_local_equals_distributed(spark, text_df):
+    linked = nlp.link_triples(nlp.extract_triples(text_df))
+    surfaces = (
+        linked.select("subj").union(linked.select("obj"))
+        .withColumnRenamed("subj", "surface")
+    )
+    protected = sorted(set(vocab.all_concept_surfaces().values()))
+    fast = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(
+            surfaces, exclude_exact=protected
+        ).collect()
+    }
+    dist = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(
+            surfaces, exclude_exact=protected, small_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+
+
 def test_cc_matches_networkx(spark):
     import networkx as nx
 
