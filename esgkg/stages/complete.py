@@ -77,6 +77,39 @@ def adamic_adar(edges: DataFrame, top_k: int = 10,
     )
 
 
+def predict_links(edges: DataFrame, source_id: int, top_k: int = 5
+                  ) -> list[tuple[int, float]]:
+    """The recovered U3 contract
+    (`ESGKnowledgeCompletion.predict_links(graph, source_node, top_k)`,
+    call sites /root/reference/scripts/03_knowledge_completion.py:76-84,
+    shape assertions /root/reference/tests/test_knowledge_completion.py:42-49):
+    exactly top_k (node, prob) pairs for one source, prob in [0, 1],
+    descending. Backed by the Adamic-Adar scorer instead of the GNN."""
+    rows = (
+        adamic_adar(edges, top_k=top_k)
+        .filter(F.col("src") == source_id)
+        .orderBy(F.asc("rank"))
+        .select("dst", "prob")
+        .collect()
+    )
+    out = [(int(r.dst), float(r.prob)) for r in rows]
+    # pad to exactly top_k with zero-probability fillers (the reference
+    # contract returns exactly k pairs even for sparse neighborhoods)
+    if len(out) < top_k:
+        existing = {d for d, _ in out} | {source_id}
+        fillers = (
+            edges.select(F.col("dst").alias("n"))
+            .union(edges.select(F.col("src").alias("n")))
+            .distinct()
+            .filter(~F.col("n").isin(list(existing)))
+            .orderBy("n")
+            .limit(top_k - len(out))
+            .collect()
+        )
+        out += [(int(r.n), 0.0) for r in fillers]
+    return out[:top_k]
+
+
 def bipartite_adamic_adar(edges: DataFrame, left: str, right: str,
                           min_shared: int = 2) -> DataFrame:
     """Adamic-Adar over a bipartite edge list: score left-side pairs by their

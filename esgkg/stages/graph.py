@@ -159,30 +159,39 @@ def bfs(edges: DataFrame, start_ids: DataFrame, max_depth: int,
         e = e.filter(F.col("relation") == relation)
     e = e.select("src", "dst", "relation")
 
-    frontier = start_ids.select(F.col(start_ids.columns[0]).alias("node"))
-    visited = frontier.withColumn("depth", F.lit(0)).withColumn(
-        "path_relations", F.array().cast("array<string>")
-    )
+    frontier = start_ids.select(
+        F.col(start_ids.columns[0]).alias("node")
+    ).withColumn("path_relations", F.array().cast("array<string>"))
+    visited = frontier.withColumn("depth", F.lit(0))
     for d in range(1, max_depth + 1):
         step = (
             frontier.join(e, frontier.node == e.src)
             .select(
                 F.col("dst").alias("node"),
-                F.col("relation"),
+                F.array_append(F.col("path_relations"), F.col("relation"))
+                .alias("path_relations"),
             )
-            .distinct()
         )
-        if step.isEmpty():
-            break
         new = (
             step.join(visited.select("node"), "node", "left_anti")
-            .select("node", F.lit(d).alias("depth"),
-                    F.array(F.col("relation")).alias("path_relations"))
-            .dropDuplicates(["node"])
+            # deterministic representative path per node (Cypher returns one
+            # row per path; we keep the lexicographically smallest path,
+            # matching the per-node dedup of the reference's set-building at
+            # graph_rag.py:189-210)
+            .withColumn("_pk", F.array_join("path_relations", ">"))
+            .groupBy("node")
+            .agg(F.min(F.struct("_pk", "path_relations")).alias("m"))
+            .select("node", F.col("m.path_relations").alias("path_relations"))
+            .withColumn("depth", F.lit(d))
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = new.select("node")
-    return visited
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(
+            new.select("node", "path_relations", "depth")
+        ).localCheckpoint(eager=True)
+        frontier = new.select("node", "path_relations")
+    return visited.select("node", "depth", "path_relations")
 
 
 def degrees(edges: DataFrame) -> DataFrame:

@@ -1,0 +1,100 @@
+"""Tests: U3 predict_links contract, AC large-dictionary categorizer,
+salted aggregation, BFS path accumulation."""
+
+from pyspark.sql import functions as F
+
+from esgkg import kernel, oracle
+from esgkg.ops import skew
+from esgkg.stages import complete, corpus, graph, sections
+
+
+def test_predict_links_reference_contract(spark):
+    # shape/range assertions mirroring the reference's only pytest file
+    # (/root/reference/tests/test_knowledge_completion.py:42-49)
+    edges = spark.createDataFrame(
+        [(1, 2, "related_to", 1.0, "u"), (1, 3, "related_to", 1.0, "u"),
+         (2, 3, "related_to", 1.0, "u"), (3, 4, "related_to", 1.0, "u"),
+         (4, 5, "related_to", 1.0, "u")],
+        "src long, dst long, relation string, confidence double, url string",
+    )
+    top_k = 3
+    links = complete.predict_links(edges, source_id=1, top_k=top_k)
+    assert len(links) == top_k
+    for node, prob in links:
+        assert isinstance(node, int)
+        assert isinstance(prob, float)
+        assert 0.0 <= prob <= 1.0
+    # descending probability
+    probs = [p for _, p in links]
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_aho_corasick_matches_python_in():
+    texts = [kernel.page_text(__import__("esgkg.synth", fromlist=["synth"]).make_page(i)["html"]) for i in range(40)]
+    from esgkg import vocab
+
+    ac = kernel.AhoCorasick(
+        {kw: cat for cat, kws in vocab.CATEGORY_KEYWORDS.items() for kw in kws}
+    )
+    for t in texts:
+        assert ac.search(t) == set(kernel.categorize(t))
+
+
+def test_categorize_large_equals_native(spark):
+    text_df = corpus.extract_text(corpus.synth_pages(spark, 120))
+    native = {
+        (r.url, r.category)
+        for r in sections.categorize(text_df).collect()
+    }
+    ac = {
+        (r.url, r.category)
+        for r in sections.categorize_large(text_df).collect()
+    }
+    assert ac == native
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(100000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    plain = {
+        (r.k, r["count"]) for r in df.groupBy("k").count().collect()
+    }
+    salted = {
+        (r.k, r["count"]) for r in skew.salted_count(df, ["k"]).collect()
+    }
+    assert salted == plain
+    plain_s = {
+        (r.k, r.s) for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    salted_s = {
+        (r.k, r.s)
+        for r in skew.salted_sum(df, ["k"], F.col("v"), "s").collect()
+    }
+    assert salted_s == plain_s
+
+
+def test_bfs_accumulates_paths(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, "is_a", 1.0, "u"), (2, 3, "part_of", 1.0, "u"),
+         (3, 4, "affects", 1.0, "u")],
+        "src long, dst long, relation string, confidence double, url string",
+    )
+    start = spark.createDataFrame([(1,)], "id long")
+    out = {r.node: (r.depth, list(r.path_relations))
+           for r in graph.bfs(edges, start, max_depth=3).collect()}
+    assert out[1] == (0, [])
+    assert out[2] == (1, ["is_a"])
+    assert out[3] == (2, ["is_a", "part_of"])
+    assert out[4] == (3, ["is_a", "part_of", "affects"])
+
+
+def test_bfs_relation_filter(spark):
+    # P7 — ALL(rel.type = $t) along the path (neo4j_manager.py:159-160)
+    edges = spark.createDataFrame(
+        [(1, 2, "is_a", 1.0, "u"), (2, 3, "part_of", 1.0, "u")],
+        "src long, dst long, relation string, confidence double, url string",
+    )
+    start = spark.createDataFrame([(1,)], "id long")
+    nodes = {r.node for r in graph.bfs(edges, start, 3, relation="is_a").collect()}
+    assert nodes == {1, 2}
