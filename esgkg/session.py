@@ -15,17 +15,29 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 _PKG_DIR = Path(__file__).resolve().parent
-_ZIP_PATH = "/tmp/esgkg_pyfiles.zip"
 
 
 def build_pkg_zip() -> str:
     """Zip the esgkg package so spark.sparkContext.addPyFile can ship it to
     python workers (cloudpickle references module functions by name, so
-    workers must be able to ``import esgkg``)."""
-    with zipfile.ZipFile(_ZIP_PATH, "w") as zf:
-        for p in sorted(_PKG_DIR.rglob("*.py")):
-            zf.write(p, f"esgkg/{p.relative_to(_PKG_DIR)}")
-    return _ZIP_PATH
+    workers must be able to ``import esgkg``). The archive name is
+    content-addressed so re-adding after a source change never collides
+    with a previously registered file (e.g. one shipped via
+    ``spark-submit --py-files``)."""
+    import hashlib
+
+    blobs = []
+    for p in sorted(_PKG_DIR.rglob("*.py")):
+        blobs.append((f"esgkg/{p.relative_to(_PKG_DIR)}", p.read_bytes()))
+    digest = hashlib.blake2b(
+        b"".join(name.encode() + b for name, b in blobs), digest_size=8
+    ).hexdigest()
+    path = f"/tmp/esgkg_pyfiles_{digest}.zip"
+    if not Path(path).exists():
+        with zipfile.ZipFile(path, "w") as zf:
+            for name, data in blobs:
+                zf.writestr(name, data)
+    return path
 
 
 def ensure_shipped(spark: SparkSession) -> None:
