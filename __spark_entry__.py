@@ -476,6 +476,41 @@ def _q26_group_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization over the events stream (30-min inactivity
+    # boundary): lag window -> boundary flag -> running session index.
+    # The stateful-streaming analog is applyInPandasWithState; the batch
+    # semantics here are the oracle-checkable ground truth.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    gap = tsec - F.lag(tsec).over(w)
+    boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("boundary", boundary)
+        .withColumn(
+            "session_idx",
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("timestamp").cast("long"))
+             - F.min(F.col("ts").cast("timestamp").cast("long")))
+            .alias("duration_sec"),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_sec").alias("max_session_sec"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -504,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_two_hop_traversal": _q24_two_hop_traversal,
         "q25_events_hourly_window": _q25_events_hourly_window,
         "q26_group_sets": _q26_group_sets,
+        "q27_sessionize": _q27_sessionize,
     }
 
 
@@ -715,6 +751,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
                    count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY source
+        """,
+        "q27_sessionize": """
+            WITH ev AS (
+                SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+                FROM events
+            ), flagged AS (
+                SELECT user_id, event_id, tsec,
+                       CASE WHEN lag(tsec) OVER w IS NULL
+                                 OR tsec - lag(tsec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS boundary
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)
+            ), sessed AS (
+                SELECT user_id, tsec,
+                       sum(boundary) OVER (PARTITION BY user_id
+                                           ORDER BY tsec, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS session_idx
+                FROM flagged
+            ), sess AS (
+                SELECT user_id, session_idx, count(*) AS n_events,
+                       max(tsec) - min(tsec) AS duration_sec
+                FROM sessed GROUP BY user_id, session_idx
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   sum(n_events) AS n_events,
+                   max(duration_sec) AS max_session_sec
+            FROM sess GROUP BY user_id
         """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
         # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.

@@ -98,9 +98,13 @@ def run_pipeline_subprocess(cores: int, pages: int) -> dict:
 
 def main() -> None:
     sf = Path(SF_DIR).name
-    hw_speedup = raw_cpu_speedup(CORES_LO, CORES_HI)
+    # calibration brackets the measurement window: a shared-VM load spike
+    # during the pair shows up as before/after divergence
+    hw_before = raw_cpu_speedup(CORES_LO, CORES_HI)
     lo = run_pipeline_subprocess(CORES_LO, PAGES)
     hi = run_pipeline_subprocess(CORES_HI, PAGES)
+    hw_after = raw_cpu_speedup(CORES_LO, CORES_HI)
+    hw_speedup = (hw_before + hw_after) / 2
     speedup = hi["triples_per_sec"] / lo["triples_per_sec"]
     efficiency = speedup / (CORES_HI / CORES_LO)
 
@@ -144,6 +148,8 @@ def main() -> None:
                     "speedup": round(speedup, 3),
                     "efficiency": round(efficiency, 3),
                     "raw_cpu_speedup": round(hw_speedup, 3),
+                    "raw_cpu_speedup_before": round(hw_before, 3),
+                    "raw_cpu_speedup_after": round(hw_after, 3),
                     "efficiency_vs_hw": round(speedup / hw_speedup, 3),
                 },
             }

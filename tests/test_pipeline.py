@@ -195,6 +195,50 @@ def test_adamic_adar_matches_networkx(spark):
     assert set(got) <= nx_pairs
 
 
+def test_manifest_resume_after_partial_run(spark):
+    """Kill-between-stages semantics: commit only the first stages, then run
+    the full pipeline — committed stages must be skipped (their output files
+    untouched) and the final tables must equal a from-scratch run."""
+    import os
+
+    from esgkg.io import ParquetCatalog
+    from esgkg.stages import corpus, manifest, nlp
+
+    base = tempfile.mkdtemp(prefix="esgkg_partial_")
+    try:
+        runner = manifest.Runner(spark, ParquetCatalog(base))
+        fp = "synth:42:60"
+        # simulate a run killed after the first two stages committed
+        pages = corpus.synth_pages(spark, 60)
+        text = runner.run_stage("text", fp, lambda: corpus.extract_text(pages))
+        runner.run_stage("raw_triples", fp, lambda: nlp.extract_triples(text))
+        mtimes = {
+            f: os.path.getmtime(os.path.join(base, "text", f))
+            for f in os.listdir(os.path.join(base, "text"))
+        }
+        # full pipeline over the same inputs resumes and completes
+        out = pipeline.build_kg(spark, 60, base_dir=base)
+        got = {(r.subj, r.pred, r.obj, r.url) for r in out["triples"].collect()}
+        # committed stage outputs were not rewritten
+        for f, m in mtimes.items():
+            assert os.path.getmtime(os.path.join(base, "text", f)) == m
+        # equals a from-scratch run
+        base2 = tempfile.mkdtemp(prefix="esgkg_scratch_")
+        try:
+            out2 = pipeline.build_kg(spark, 60, base_dir=base2)
+            want = {
+                (r.subj, r.pred, r.obj, r.url)
+                for r in out2["triples"].collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(base2, ignore_errors=True)
+        m = spark.read.parquet(f"{base}/_manifest")
+        assert m.count() == m.select("stage").distinct().count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_manifest_resume_idempotent(spark):
     base = tempfile.mkdtemp(prefix="esgkg_manifest_")
     try:
