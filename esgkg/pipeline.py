@@ -21,6 +21,19 @@ from .stages import canon, complete, corpus, graph, manifest, nlp
 
 
 _MEMO: dict[tuple, dict[str, DataFrame]] = {}
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _register_scratch_cleanup(path: str) -> None:
+    """Remove the parquet scratch at interpreter exit — it lives on tmpfs
+    (RAM), so leaked per-pid dirs would accumulate across bench runs."""
+    if path in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(path)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, True)
 
 
 def build_kg(
@@ -68,6 +81,7 @@ def build_kg(
     scratch = f"/dev/shm/esgkg-bench-{os.getpid()}" if os.path.isdir(
         "/dev/shm"
     ) else f"/tmp/esgkg-bench-{os.getpid()}"
+    _register_scratch_cleanup(scratch)
 
     def stage(name: str, make, partition_by=None) -> DataFrame:
         if runner is None:
