@@ -511,6 +511,24 @@ def _q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q28_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-engine-checkable MinHash: 4 hash functions realized as
+    # md5(seed || token), min per doc — the same shingle→minhash→signature
+    # computation the LSH dedup path uses (kernel version uses blake2b;
+    # md5 here because both Spark and DuckDB expose it bit-identically).
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("token")))).alias(
+            f"mh{seed}"
+        )
+        for seed in range(4)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -540,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_events_hourly_window": _q25_events_hourly_window,
         "q26_group_sets": _q26_group_sets,
         "q27_sessionize": _q27_sessionize,
+        "q28_minhash_signatures": _q28_minhash_signatures,
     }
 
 
@@ -779,6 +798,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_events) AS n_events,
                    max(duration_sec) AS max_session_sec
             FROM sess GROUP BY user_id
+        """,
+        "q28_minhash_signatures": """
+            SELECT doc_id,
+                   min(md5('0|' || token)) AS mh0,
+                   min(md5('1|' || token)) AS mh1,
+                   min(md5('2|' || token)) AS mh2,
+                   min(md5('3|' || token)) AS mh3
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY doc_id
         """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
         # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.

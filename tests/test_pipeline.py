@@ -195,6 +195,34 @@ def test_adamic_adar_matches_networkx(spark):
     assert set(got) <= nx_pairs
 
 
+def test_catalog_merge_upsert_semantics(spark):
+    """S6 MERGE emulation: new rows win on key collision, others kept
+    (Neo4j MERGE semantics, neo4j_manager.py:62,91)."""
+    from esgkg.io import ParquetCatalog
+
+    base = tempfile.mkdtemp(prefix="esgkg_merge_")
+    try:
+        cat = ParquetCatalog(base)
+        cat.write(
+            spark.createDataFrame(
+                [("a", 1), ("b", 2)], "name string, v int"
+            ),
+            "t",
+        )
+        cat.merge(
+            spark,
+            spark.createDataFrame(
+                [("b", 20), ("c", 3)], "name string, v int"
+            ),
+            "t",
+            keys=["name"],
+        )
+        got = {(r.name, r.v) for r in cat.read(spark, "t").collect()}
+        assert got == {("a", 1), ("b", 20), ("c", 3)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_manifest_resume_after_partial_run(spark):
     """Kill-between-stages semantics: commit only the first stages, then run
     the full pipeline — committed stages must be skipped (their output files
