@@ -158,11 +158,12 @@ def _q06_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return (
-        freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
-        .select("token", "freq", "rn")
+    # global top-N via orderBy+limit (TakeOrderedAndProject — no single
+    # partition shuffle); the rank column is assigned over the 50-row result
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(50)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("token"))
+    return top.select(
+        "token", "freq", F.row_number().over(w).alias("rn")
     )
 
 
@@ -231,7 +232,9 @@ def _q13_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
     )
-    aa = complete.bipartite_adamic_adar(edges, "cust", "part", min_shared=2)
+    aa = complete.bipartite_adamic_adar(
+        edges, "cust", "part", min_shared=2, max_degree=1000
+    )
     return (
         aa.orderBy(F.desc("common"), F.asc("a"), F.asc("b"))
         .limit(100)
@@ -332,21 +335,21 @@ def _q20_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q21_top_third_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T4/F4 — the reference's keyword extractor: top floor(V/3) tokens by
-    # frequency (/root/reference/src/evaluation/metrics.py:273-280)
-    from pyspark.sql import Window
-
+    # frequency (/root/reference/src/evaluation/metrics.py:273-280).
+    # Two-pass: count the vocabulary, then orderBy+limit
+    # (TakeOrderedAndProject — no single-partition window).
     docs = _t(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
+        .persist()
     )
     total = freq.count()
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
     return (
-        freq.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= total // 3)
+        freq.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(total // 3)
         .select("token", "freq")
     )
 
@@ -483,9 +486,13 @@ def _q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantics here are the oracle-checkable ground truth.
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tsec = F.col("ts").cast("timestamp").cast("long")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "tsec", F.col("ts").cast("timestamp").cast("long")
+    )
+    # order by the truncated second (+ event_id tie-break) in BOTH engines so
+    # tie-breaks are bit-identical with the DuckDB oracle (round-1 hash-fail)
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    tsec = F.col("tsec")
     gap = tsec - F.lag(tsec).over(w)
     boundary = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = (
@@ -499,9 +506,7 @@ def _q27_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_idx")
         .agg(
             F.count("*").alias("n_events"),
-            (F.max(F.col("ts").cast("timestamp").cast("long"))
-             - F.min(F.col("ts").cast("timestamp").cast("long")))
-            .alias("duration_sec"),
+            (F.max("tsec") - F.min("tsec")).alias("duration_sec"),
         )
     )
     return sess.groupBy("user_id").agg(
@@ -670,7 +675,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT part, count(*) AS deg_p FROM edges GROUP BY part
             ), ed AS (
                 SELECT e.cust, e.part, d.deg_p FROM edges e
-                JOIN deg d ON e.part = d.part WHERE d.deg_p >= 2
+                JOIN deg d ON e.part = d.part
+                WHERE d.deg_p >= 2 AND d.deg_p <= 1000
             ), scored AS (
                 SELECT l.cust AS a, r.cust AS b, count(*) AS common,
                        sum(1.0 / ln(l.deg_p)) AS aa_score
@@ -795,8 +801,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM sessed GROUP BY user_id, session_idx
             )
             SELECT user_id, count(*) AS n_sessions,
-                   sum(n_events) AS n_events,
-                   max(duration_sec) AS max_session_sec
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(max(duration_sec) AS BIGINT) AS max_session_sec
             FROM sess GROUP BY user_id
         """,
         "q28_minhash_signatures": """

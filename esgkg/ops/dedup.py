@@ -29,9 +29,19 @@ from ..stages import canon
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """One row per distinct text: (keep_id, n_dupes). JVM-side only."""
+    """One row per distinct text: (keep_id, n_dupes). JVM-side only.
+
+    Groups on (md5, xxhash64, length) content hashes instead of the raw text
+    so the shuffle key is ~30 bytes, not the document body (at 100 TB the
+    full-text key IS the corpus). Two independent hashes + the exact length
+    make a false merge ~2^-192-improbable — the collision-verify margin."""
+    key = [
+        F.md5(F.col(text_col)),
+        F.xxhash64(F.col(text_col), F.lit(7)),
+        F.length(F.col(text_col)),
+    ]
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(*key)
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("n_dupes"),
@@ -168,10 +178,16 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
-                           **kw) -> DataFrame:
+                           max_bucket: int = 64, **kw) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit prefix bands (a pair within
     hamming distance d ≤ 3 of a 64-bit hash agrees exactly on at least one of
-    4 16-bit bands — pigeonhole), verify exact hamming distance JVM-side."""
+    4 16-bit bands — pigeonhole), verify exact hamming distance JVM-side.
+
+    `max_bucket` bounds band-bucket sizes exactly like the MinHash path:
+    boilerplate-heavy corpora collapse millions of docs into one band_val and
+    the self-join goes quadratic without it. Oversized buckets are dropped —
+    their members are exact/near-identical boilerplate that the exact-dedup
+    pass catches by hash."""
     sig = simhash_signatures(docs, **kw)
     bands = []
     for bi in range(4):
@@ -188,6 +204,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3,
     b = bands[0]
     for x in bands[1:]:
         b = b.union(x)
+    b = b.localCheckpoint(eager=True)  # feeds sizes AND both join sides
+    sizes = b.groupBy("band_id", "band_val").agg(F.count("*").alias("n"))
+    b = b.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_val"),
+        ["band_id", "band_val"],
+    )
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(

@@ -9,7 +9,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -118,7 +118,8 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
 def token_frequency(docs: DataFrame, text_col: str = "text",
                     top_n: int | None = None) -> DataFrame:
     """(token, freq) global token frequency — F4/A4: explode + hash agg
-    (map-side partial agg comes free); optional deterministic top-N."""
+    (map-side partial agg comes free); optional deterministic top-N via
+    orderBy+limit (TakeOrderedAndProject — never a single-partition window)."""
     tok = (
         docs.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
@@ -128,18 +129,14 @@ def token_frequency(docs: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("freq"))
     )
     if top_n is not None:
-        w = Window.orderBy(F.desc("freq"), F.asc("token"))
-        tok = (
-            tok.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_n)
-            .drop("rn")
-        )
+        tok = tok.orderBy(F.desc("freq"), F.asc("token")).limit(top_n)
     return tok
 
 
 def top_third_keywords(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The reference's keyword extraction (metrics.py:273-280): top ⌊V/3⌋
-    tokens by frequency, count-then-lexicographic order."""
-    freq = token_frequency(docs, text_col)
+    tokens by frequency, count-then-lexicographic order. Two passes over one
+    cached frequency table (count V, then take top ⌊V/3⌋)."""
+    freq = token_frequency(docs, text_col).persist()
     total = freq.count()
-    return token_frequency(docs, text_col, top_n=total // 3)
+    return freq.orderBy(F.desc("freq"), F.asc("token")).limit(total // 3)

@@ -71,7 +71,7 @@ def build_kg(
     # nodes/edges are eager as well: the endpoint joins broadcast the name
     # dimension twice, and two concurrent broadcast exchanges over a lazily
     # persisted `nodes` plan each recompute it (cold-cache race)
-    _EAGER = {"linked_triples", "triples", "nodes", "edges"}
+    _EAGER = {"linked_triples", "triples", "canon_map", "nodes", "edges"}
     # Row-count-heavy stages round-trip through parquet scratch instead of
     # localCheckpoint: checkpointed DataFrames hold deserialized row objects
     # on the JVM heap (gigabytes at millions of triples -> GC thrash that
@@ -136,21 +136,28 @@ def build_kg(
         partition_by=["pred"],
     )
 
-    nodes_edges: dict[str, DataFrame] = {}
+    if runner is None:
+        # bench mode: one materialize call — nodes are checkpointed inside
+        # materialize (single job), edges checkpoint eagerly here (fan-out
+        # into AA and the counts)
+        nodes, edges = graph.materialize(triples, spark)
+        edges = edges.localCheckpoint(eager=True)
+    else:
+        nodes_edges: dict[str, DataFrame] = {}
 
-    def make_nodes() -> DataFrame:
-        n, e = graph.materialize(triples, spark)
-        nodes_edges["edges"] = e
-        return n
+        def make_nodes() -> DataFrame:
+            n, e = graph.materialize(triples, spark)
+            nodes_edges["edges"] = e
+            return n
 
-    nodes = stage("nodes", make_nodes)
-    edges = stage(
-        "edges",
-        lambda: nodes_edges.get("edges")
-        if nodes_edges.get("edges") is not None
-        else graph.materialize(triples, spark)[1],
-        partition_by=["relation"],
-    )
+        nodes = stage("nodes", make_nodes)
+        edges = stage(
+            "edges",
+            lambda: nodes_edges.get("edges")
+            if nodes_edges.get("edges") is not None
+            else graph.materialize(triples, spark)[1],
+            partition_by=["relation"],
+        )
     predicted = stage("predicted_links", lambda: complete.adamic_adar(edges, top_k))
     result = {
         "pages": pages,

@@ -332,11 +332,18 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
     )
 
 
-def rewrite_triples(triples: DataFrame, canon: DataFrame) -> DataFrame:
+def rewrite_triples(triples: DataFrame, canon: DataFrame,
+                    broadcast_threshold: int = 2_000_000) -> DataFrame:
     """C4: rewrite subj and obj through the canonical map (left joins keep
-    unmapped surfaces as-is; F.broadcast because the map is the small side
-    relative to the triple stream)."""
-    c = F.broadcast(canon)
+    unmapped surfaces as-is).
+
+    The map is one row per DISTINCT corpus surface — unbounded at web scale —
+    so it is broadcast only while it is genuinely small (size-gated by a
+    single cheap count; the map is materialized/persisted by the pipeline
+    before this stage). Above the threshold both lookups run as shuffle hash
+    joins on the surface key; AQE splits residual skew."""
+    n_map = canon.limit(broadcast_threshold + 1).count()
+    c = F.broadcast(canon) if n_map <= broadcast_threshold else canon
     out = (
         triples.join(
             c.withColumnRenamed("surface", "subj").withColumnRenamed(

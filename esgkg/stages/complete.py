@@ -33,8 +33,17 @@ def undirected(edges: DataFrame) -> DataFrame:
 
 
 def adamic_adar(edges: DataFrame, top_k: int = 10,
-                max_degree: int = 1000) -> DataFrame:
-    """(src, dst, common_neighbors, aa_score, prob, rank) — proposed links."""
+                max_degree: int = 1000,
+                broadcast_threshold: int = 2_000_000) -> DataFrame:
+    """(src, dst, common_neighbors, aa_score, prob, rank) — proposed links.
+
+    Size-gated join strategy: below `broadcast_threshold` neighbor rows the
+    triangle self-join broadcasts one side (the explosion stays map-side and
+    the only shuffle is the partially-aggregated groupBy); above it — a
+    web-scale edge table is the whole graph, which must never be shipped to
+    every executor — it runs as a repartitioned self-join on the shared
+    vertex z with AQE skew-split handling the residual imbalance the
+    `max_degree` hub cap has already bounded."""
     und = undirected(edges)
     deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("deg"))
     # neighbor lists keyed by the shared vertex z
@@ -42,13 +51,14 @@ def adamic_adar(edges: DataFrame, top_k: int = 10,
     nbrs = nbrs.join(
         F.broadcast(deg.filter(F.col("deg") <= max_degree)), "z"
     )  # hub cap: drops negligible-weight, quadratic-cost hubs
-    # The join key z is low-cardinality by construction (shared neighbors),
-    # so a shuffle join would be skew-bound; broadcasting the (small)
-    # neighbor list keeps the explosion map-side and the only shuffle is the
-    # partially-aggregated groupBy. At edge counts past the broadcast
-    # threshold, swap to a bucketed self-join + AQE skew split.
     nbrs = nbrs.localCheckpoint(eager=True)
-    l, r = nbrs.alias("l"), F.broadcast(nbrs.alias("r"))
+    n_nbrs = nbrs.count()  # cheap: checkpointed one line above
+    l = nbrs.alias("l")
+    r = (
+        F.broadcast(nbrs.alias("r"))
+        if n_nbrs <= broadcast_threshold
+        else nbrs.repartition("z").alias("r")
+    )
     cand = (
         l.join(r, (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n")))
         .select(
@@ -77,22 +87,54 @@ def adamic_adar(edges: DataFrame, top_k: int = 10,
     )
 
 
-def predict_links(edges: DataFrame, source_id: int, top_k: int = 5
-                  ) -> list[tuple[int, float]]:
+def predict_links(edges: DataFrame, source_id: int, top_k: int = 5,
+                  max_degree: int = 1000) -> list[tuple[int, float]]:
     """The recovered U3 contract
     (`ESGKnowledgeCompletion.predict_links(graph, source_node, top_k)`,
     call sites /root/reference/scripts/03_knowledge_completion.py:76-84,
     shape assertions /root/reference/tests/test_knowledge_completion.py:42-49):
     exactly top_k (node, prob) pairs for one source, prob in [0, 1],
-    descending. Backed by the Adamic-Adar scorer instead of the GNN."""
+    descending. Backed by the Adamic-Adar scorer instead of the GNN.
+
+    Per-source contract → per-source plan: only the source's 2-hop
+    neighborhood is scored (z ∈ N(source), candidates ∈ N(z)); the full
+    graph is touched just twice — the undirected projection and the global
+    degree table the 1/ln(deg) weights need — never a graph-wide AA."""
+    und = undirected(edges).localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("deg"))
+    n1 = (
+        und.filter(F.col("a") == source_id)
+        .select(F.col("b").alias("z"))
+        .distinct()
+    )
+    nbrs = (
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+        .join(F.broadcast(n1), "z")  # z restricted to N1(source): small
+        .join(
+            F.broadcast(deg.filter(F.col("deg") <= max_degree)), "z"
+        )
+        .filter(F.col("n") != source_id)
+        .filter(F.col("deg") >= 2)
+    )
+    scored = (
+        nbrs.groupBy("n")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("deg"))).alias("aa_score"),
+        )
+        # propose only NEW links: drop existing neighbors of the source
+        .join(n1.withColumnRenamed("z", "n"), "n", "left_anti")
+    )
     rows = (
-        adamic_adar(edges, top_k=top_k)
-        .filter(F.col("src") == source_id)
-        .orderBy(F.asc("rank"))
-        .select("dst", "prob")
+        scored.orderBy(
+            F.desc("aa_score"), F.desc("common_neighbors"), F.asc("n")
+        )
+        .limit(top_k)
+        .withColumn("prob", 1.0 - F.exp(-F.col("aa_score")))
+        .select("n", "prob")
         .collect()
     )
-    out = [(int(r.dst), float(r.prob)) for r in rows]
+    out = [(int(r.n), float(r.prob)) for r in rows]
     # pad to exactly top_k with zero-probability fillers (the reference
     # contract returns exactly k pairs even for sparse neighborhoods)
     if len(out) < top_k:
@@ -111,16 +153,23 @@ def predict_links(edges: DataFrame, source_id: int, top_k: int = 5
 
 
 def bipartite_adamic_adar(edges: DataFrame, left: str, right: str,
-                          min_shared: int = 2) -> DataFrame:
+                          min_shared: int = 2,
+                          max_degree: int = 1000) -> DataFrame:
     """Adamic-Adar over a bipartite edge list: score left-side pairs by their
     shared right-side neighbors, weight 1/ln(degree of shared neighbor).
     Returns (a, b, common, aa_score) with a < b.
 
     Same triangle-join shape as `adamic_adar`, reused for e.g. the
-    customer–part co-purchase graph in the driver's differential checks."""
+    customer–part co-purchase graph in the driver's differential checks.
+    `max_degree` caps the shared-neighbor degree, mirroring `adamic_adar`: a
+    right-side hub with degree d emits d² pairs while contributing a
+    negligible 1/ln(d) weight — dropping hubs bounds the blowup (the round-1
+    scale-killer on boilerplate-dense graphs)."""
     e = edges.select(F.col(left).alias("c"), F.col(right).alias("p")).distinct()
     deg = e.groupBy("p").agg(F.count("*").alias("deg_p"))
-    ed = e.join(deg.filter(F.col("deg_p") >= 2), "p")
+    ed = e.join(
+        deg.filter((F.col("deg_p") >= 2) & (F.col("deg_p") <= max_degree)), "p"
+    )
     l, r = ed.alias("l"), ed.alias("r")
     return (
         l.join(r, (F.col("l.p") == F.col("r.p")) & (F.col("l.c") < F.col("r.c")))

@@ -53,7 +53,8 @@ def seed_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
 
 
 def materialize(
-    triples: DataFrame, spark: SparkSession
+    triples: DataFrame, spark: SparkSession,
+    broadcast_threshold: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """canonical triples (+ seed) → (nodes, edges).
 
@@ -61,7 +62,22 @@ def materialize(
     Instance, else Concept (scripts/06:42-47 routing applied post-linking).
     Category: hierarchy-closure category for dictionary concepts; Instances
     and unknown surfaces get 'Other' (classify-miss semantics of
-    scripts/06:108-113)."""
+    scripts/06:108-113).
+
+    Nodes carry an ``attributes map<string,string>`` column (ref
+    ontology.py:112 node attrs, the payload of the S6 MERGE `SET c +=
+    $attributes` upsert, neo4j_manager.py:66-67): here the deterministic
+    mention count over the triple stream.
+
+    Determinism: node kind/category and edge (confidence, url) are resolved
+    by explicit aggregation precedence (max(is_instance), max(confidence),
+    min(url)) — never dropDuplicates, whose survivor is partition-order
+    dependent. Nodes are checkpointed once inside this function so the edge
+    endpoint joins (and any downstream consumer) never recompute the node
+    aggregation. The name dimension is broadcast only below
+    `broadcast_threshold` rows; above it the endpoint resolution is a shuffle
+    join on the name key (AQE handles residual skew) — a web-scale surface
+    vocabulary does not fit in every executor."""
     _session.ensure_shipped(spark)
     seed_nodes, seed_edges = seed_graph(spark)
 
@@ -81,8 +97,20 @@ def materialize(
             )
         ).alias("e")
     ).select("e.*")
-    names_agg = ends.groupBy("name").agg(
-        F.max("is_inst").alias("is_instance")
+    names_agg = (
+        ends.select("name", "is_inst", F.lit(1).cast("long").alias("m"))
+        .unionByName(
+            seed_nodes.select(
+                "name",
+                F.lit(False).alias("is_inst"),
+                F.lit(0).cast("long").alias("m"),
+            )
+        )
+        .groupBy("name")
+        .agg(
+            F.max("is_inst").alias("is_instance"),
+            F.sum("m").alias("mentions"),
+        )
     )
     cat = vocab.concept_category()
     cat_df = F.broadcast(
@@ -93,16 +121,17 @@ def materialize(
     nodes = (
         names_agg.join(cat_df, "name", "left")
         .select(
+            _name_id(F.col("name")).alias("id"),
             "name",
             F.coalesce("cat", F.lit("Other")).alias("category"),
             F.when(F.col("is_instance"), F.lit("Instance"))
             .otherwise(F.lit("Concept"))
             .alias("kind"),
+            F.create_map(
+                F.lit("mentions"), F.col("mentions").cast("string")
+            ).alias("attributes"),
         )
-        .unionByName(seed_nodes)
-        .dropDuplicates(["name"])
-        .withColumn("id", _name_id(F.col("name")))
-        .select("id", "name", "category", "kind")
+        .localCheckpoint(eager=True)
     )
 
     all_edges = triples.select(
@@ -116,14 +145,17 @@ def materialize(
             "url", F.lit("seed://ontology")
         )
     )
-    # J3 endpoint-existence inner joins (silent-drop semantics); the name
-    # dimension is orders of magnitude smaller than the edge stream, so
-    # broadcast both lookups (at dictionary sizes past the broadcast
-    # threshold this becomes a bucketed join on the name hash)
+    # J3 endpoint-existence inner joins (silent-drop semantics), size-gated:
+    # broadcast the name dimension only while it is genuinely small
     names = nodes.select("name", "id")
+    n_names = nodes.count()  # cheap: nodes is checkpointed above
+
+    def _dim(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_names <= broadcast_threshold else df
+
     edges = (
         all_edges.join(
-            F.broadcast(
+            _dim(
                 names.withColumnRenamed("name", "src_name").withColumnRenamed(
                     "id", "src"
                 )
@@ -131,15 +163,16 @@ def materialize(
             "src_name",
         )
         .join(
-            F.broadcast(
+            _dim(
                 names.withColumnRenamed("name", "dst_name").withColumnRenamed(
                     "id", "dst"
                 )
             ),
             "dst_name",
         )
+        .groupBy("src", "dst", "relation")
+        .agg(F.max("confidence").alias("confidence"), F.min("url").alias("url"))
         .select("src", "dst", "relation", "confidence", "url")
-        .dropDuplicates(["src", "dst", "relation"])
     )
     return nodes, edges
 
@@ -282,7 +315,8 @@ def import_ontology_json(spark: SparkSession, path: str
         [(n, cat.get(n, "Other"), "Concept") for n in data["nodes"]],
         "name string, category string, kind string",
     ).withColumn("id", _name_id(F.col("name"))).select(
-        "id", "name", "category", "kind"
+        "id", "name", "category", "kind",
+        F.create_map(F.lit("mentions"), F.lit("0")).alias("attributes"),
     )
     names = {n for n in data["nodes"]}
     edges = spark.createDataFrame(

@@ -33,16 +33,22 @@ class Runner:
         self.catalog = catalog
 
     def _committed(self, stage: str, fingerprint: str) -> bool:
+        """True iff the MOST RECENT manifest commit for `stage` carries this
+        fingerprint. The stage output path is keyed by stage name only, so an
+        older matching commit does NOT prove the current table contents match
+        (run A→B→A on the same base_dir would otherwise resume B's output
+        under A's fingerprint — the round-1 stale-resume bug)."""
         if not self.catalog.exists(self.spark, MANIFEST):
             return False
         m = self.catalog.read(self.spark, MANIFEST)
-        return (
-            m.filter(
-                (F.col("stage") == stage)
-                & (F.col("input_fingerprint") == fingerprint)
-            ).limit(1).count()
-            > 0
+        last = (
+            m.filter(F.col("stage") == stage)
+            .orderBy(F.desc("committed_at"))
+            .select("input_fingerprint")
+            .limit(1)
+            .collect()
         )
+        return bool(last) and last[0][0] == fingerprint
 
     def _commit(self, stage: str, fingerprint: str, out: DataFrame,
                 metrics: dict | None = None) -> None:

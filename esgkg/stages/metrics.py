@@ -13,10 +13,22 @@ DataFrame re-expressions of /root/reference/src/evaluation/metrics.py:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import graph as graph_stage
+
+# The reference's simple tokenizer (metrics.py:267-271): strip JA punctuation
+# + whitespace, split on runs of spaces.
+REF_TOKEN_PUNCT = r"[、。！？「」『』（）［］\s]+"
+
+
+def ref_tokens(col):
+    """Column expr: the reference `_tokenize` as an array<string>."""
+    return F.filter(
+        F.split(F.regexp_replace(col, REF_TOKEN_PUNCT, " "), " "),
+        lambda t: t != "",
+    )
 
 
 def relation_prf(pred: DataFrame, gold: DataFrame) -> dict[str, float]:

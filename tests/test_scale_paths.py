@@ -1,0 +1,181 @@
+"""Round-2 scale-path tests: size-gated broadcast fallbacks must equal the
+broadcast plans, skew caps must bound candidate blowup, the manifest must not
+resume stale outputs, and node/edge resolution must be deterministic."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from esgkg import pipeline
+from esgkg.stages import canon, complete, corpus, graph, nlp
+from esgkg.ops import dedup
+
+
+def _triples(spark, n=120):
+    text = corpus.extract_text(corpus.synth_pages(spark, n))
+    return nlp.link_triples(nlp.extract_triples(text)).cache()
+
+
+def test_rewrite_triples_shuffle_equals_broadcast(spark):
+    linked = _triples(spark)
+    surfaces = linked.select(F.col("subj").alias("surface")).union(
+        linked.select(F.col("obj").alias("surface"))
+    )
+    cmap = canon.canonical_map(surfaces).cache()
+    a = canon.rewrite_triples(linked, cmap)  # broadcast (default gate)
+    b = canon.rewrite_triples(linked, cmap, broadcast_threshold=0)  # shuffle
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and rows_a
+
+
+def test_adamic_adar_shuffle_equals_broadcast(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6)],
+        "src long, dst long",
+    )
+    a = complete.adamic_adar(edges, top_k=5)
+    b = complete.adamic_adar(edges, top_k=5, broadcast_threshold=0)
+    key = lambda r: (r.src, r.dst)
+    got_a = {key(r): (r.common_neighbors, round(r.aa_score, 9), r.rank)
+             for r in a.collect()}
+    got_b = {key(r): (r.common_neighbors, round(r.aa_score, 9), r.rank)
+             for r in b.collect()}
+    assert got_a == got_b and got_a
+
+
+def test_materialize_shuffle_equals_broadcast(spark):
+    linked = _triples(spark, 80)
+    n1, e1 = graph.materialize(linked, spark)
+    n2, e2 = graph.materialize(linked, spark, broadcast_threshold=0)
+    assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_materialize_deterministic_and_attributed(spark):
+    linked = _triples(spark, 80)
+    n1, e1 = graph.materialize(linked, spark)
+    n2, e2 = graph.materialize(linked, spark)
+    # full-row determinism (kind/category/attributes, not just id+name)
+    assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+    by_name = {r.name: r for r in n1.collect()}
+    # every node carries the attributes map; corpus-derived nodes count
+    # mentions, seed-only nodes report 0
+    assert all("mentions" in r.attributes for r in by_name.values())
+    mentioned = [r for r in by_name.values() if int(r.attributes["mentions"]) > 0]
+    assert mentioned
+    assert int(by_name["ROOT"].attributes["mentions"]) == 0
+
+
+def test_node_attribute_map_merge_upsert(spark):
+    """S6 second half: the MERGE upsert carries the attributes map — an
+    updated node's attribute payload replaces the old one (Neo4j
+    `SET c += $attributes`, neo4j_manager.py:66-67)."""
+    from esgkg.io import ParquetCatalog
+
+    base = tempfile.mkdtemp(prefix="esgkg_attrmerge_")
+    try:
+        cat = ParquetCatalog(base)
+        mk = lambda rows: spark.createDataFrame(
+            rows, "id long, name string, attributes map<string,string>"
+        )
+        cat.write(mk([(1, "a", {"mentions": "1"}), (2, "b", {"mentions": "2"})]),
+                  "nodes")
+        cat.merge(
+            spark,
+            mk([(2, "b", {"mentions": "7", "lang": "ja"}),
+                (3, "c", {"mentions": "1"})]),
+            "nodes",
+            keys=["id"],
+        )
+        got = {r.id: dict(r.attributes) for r in cat.read(spark, "nodes").collect()}
+        assert got == {
+            1: {"mentions": "1"},
+            2: {"mentions": "7", "lang": "ja"},
+            3: {"mentions": "1"},
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_manifest_rejects_stale_resume(spark):
+    """Param-change-then-revert on one base_dir: run n=60, then n=90
+    (overwrites stage tables), then n=60 again — the third run must NOT
+    resume the n=90 output under the n=60 fingerprint."""
+    base = tempfile.mkdtemp(prefix="esgkg_stale_")
+    try:
+        out60 = pipeline.build_kg(spark, 60, base_dir=base)
+        want = {(r.subj, r.pred, r.obj, r.url) for r in out60["triples"].collect()}
+        pipeline.build_kg(spark, 90, base_dir=base)["triples"].count()
+        out_again = pipeline.build_kg(spark, 60, base_dir=base)
+        got = {(r.subj, r.pred, r.obj, r.url)
+               for r in out_again["triples"].collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_simhash_bucket_cap_bounds_blowup(spark):
+    """A boilerplate-skewed corpus (one dominant near-identical template)
+    must not produce a quadratic pair set: with the cap, the hot band bucket
+    is dropped; distinct near-dup pairs outside it survive."""
+    import random
+
+    boiler = [(i, "lorem ipsum dolor sit amet " * 10) for i in range(300)]
+    rng = random.Random(3)
+    words = ["spark", "shuffle", "partition", "join", "window", "aggregate",
+             "broadcast", "exchange", "codegen", "arrow"]
+    toks = [rng.choice(words) + str(rng.randrange(50)) for _ in range(200)]
+    edited = list(toks)
+    edited[100] = "changedtoken"  # 1-token edit → hamming ≈ 1 on 200 tokens
+    pair = [(1000, " ".join(toks)), (1001, " ".join(edited))]
+    docs = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    got = dedup.simhash_near_dup_pairs(docs, max_bucket=64).collect()
+    # 300 identical docs -> C(300,2)=44850 pairs without the cap
+    assert len(got) < 1000
+    assert (1000, 1001) in {(r.a, r.b) for r in got}
+    # uncapped control on a small clean set still finds the pair
+    small = spark.createDataFrame(pair, "doc_id long, text string")
+    assert {(r.a, r.b) for r in dedup.simhash_near_dup_pairs(small).collect()} == {
+        (1000, 1001)
+    }
+
+
+def test_exact_dedup_hash_keys_match_text_grouping(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z"), (5, "y"), (6, "x")],
+        "doc_id long, text string",
+    )
+    got = {(r.keep_id, r.n_dupes) for r in dedup.exact_dedup(docs).collect()}
+    assert got == {(1, 3), (3, 2), (4, 1)}
+
+
+def test_predict_links_neighborhood_matches_bruteforce(spark):
+    """The 2-hop-restricted per-source scorer must equal a brute-force
+    Adamic-Adar computed in python over the same undirected graph."""
+    import math
+
+    raw = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 6)]
+    edges = spark.createDataFrame(
+        [(a, b, "related_to", 1.0, "u") for a, b in raw],
+        "src long, dst long, relation string, confidence double, url string",
+    )
+    adj: dict[int, set[int]] = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = 1
+    scores = {}
+    for c in adj:
+        if c == src or c in adj[src]:
+            continue
+        zs = adj[src] & adj[c]
+        if zs:
+            scores[c] = sum(1.0 / math.log(len(adj[z])) for z in zs)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = complete.predict_links(edges, source_id=src, top_k=len(want))
+    assert [(n, round(1.0 - math.exp(-s), 9)) for n, s in want] == [
+        (n, round(p, 9)) for n, p in got
+    ]

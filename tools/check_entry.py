@@ -22,10 +22,18 @@ TABLES = (
 
 
 def norm(v):
+    """Tighter than round-1 (%.9g): %.12g + Decimal→int/float folding, so a
+    local pass predicts the driver's (full-precision) value hash. Every
+    oracle query should CAST its integer aggregates (DuckDB sum() returns
+    HUGEINT/DECIMAL) and round() float columns identically on both sides."""
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = int(v) if v == v.to_integral_value() else float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
