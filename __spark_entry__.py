@@ -534,6 +534,46 @@ def _q28_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
+_ANSWER_CONCEPTS = ("scan", "join", "window", "table")
+_DOMAIN_SET = ("scan", "join", "window", "table", "hash", "merge",
+               "quantum", "blockchain")
+
+
+def _q29_answer_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 — the reference's answer-quality evaluator
+    # (/root/reference/src/evaluation/metrics.py:221-265) over a
+    # deterministic fixture: each doc "answers" the next doc (doc_id+1)
+    from esgkg.stages import metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    d1 = docs.select("doc_id", F.col("text").alias("generated"))
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("reference")
+    )
+    pairs = d1.join(d2, "doc_id")
+    out = metrics.answer_quality(
+        pairs, "generated", "reference", "doc_id",
+        context_concepts=_ANSWER_CONCEPTS,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "concept_usage", "word_overlap",
+        "answer_length", "vocabulary_size", "keyword_match",
+    )
+
+
+def _q30_domain_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 — domain-concept coverage metrics
+    # (/root/reference/src/evaluation/metrics.py:46-65): the "ontology
+    # concept set" is the corpus vocabulary, the domain set a fixed list
+    from esgkg.stages import metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(metrics.ref_tokens(F.col("text"))).alias("name")
+    )
+    return metrics.coverage_metrics(tokens, list(_DOMAIN_SET))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -564,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_group_sets": _q26_group_sets,
         "q27_sessionize": _q27_sessionize,
         "q28_minhash_signatures": _q28_minhash_signatures,
+        "q29_answer_quality": _q29_answer_quality,
+        "q30_domain_coverage": _q30_domain_coverage,
     }
 
 
@@ -816,6 +858,96 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE token <> ''
             GROUP BY doc_id
+        """,
+        "q29_answer_quality": """
+            WITH pairs AS (
+                SELECT a.doc_id, a.text AS gen, b.text AS ref
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ), tok AS (
+                SELECT doc_id, 'g' AS side,
+                       unnest(list_filter(string_split(
+                           regexp_replace(gen, '[、。！？「」『』（）［］\\s]+',
+                                          ' ', 'g'), ' '), x -> x <> ''))
+                           AS token
+                FROM pairs
+                UNION ALL
+                SELECT doc_id, 'r',
+                       unnest(list_filter(string_split(
+                           regexp_replace(ref, '[、。！？「」『』（）［］\\s]+',
+                                          ' ', 'g'), ' '), x -> x <> ''))
+                FROM pairs
+            ), dist AS (
+                SELECT DISTINCT doc_id, side, token FROM tok
+            ), wo AS (
+                SELECT g.doc_id, count(*) AS n_int
+                FROM dist g JOIN dist r
+                  ON g.doc_id = r.doc_id AND g.token = r.token
+                 AND g.side = 'g' AND r.side = 'r'
+                GROUP BY g.doc_id
+            ), sizes AS (
+                SELECT doc_id,
+                       count(*) FILTER (WHERE side = 'g') AS n_gw,
+                       count(*) FILTER (WHERE side = 'r') AS n_rw
+                FROM dist GROUP BY doc_id
+            ), freq AS (
+                SELECT doc_id, side, token, count(*) AS freq
+                FROM tok GROUP BY 1, 2, 3
+            ), kw AS (
+                SELECT doc_id, side, token FROM (
+                    SELECT doc_id, side, token,
+                           row_number() OVER (PARTITION BY doc_id, side
+                                              ORDER BY freq DESC, token ASC)
+                               AS rn,
+                           count(*) OVER (PARTITION BY doc_id, side) AS v
+                    FROM freq
+                ) WHERE rn <= v // 3
+            ), kint AS (
+                SELECT g.doc_id, count(*) AS n_int
+                FROM kw g JOIN kw r
+                  ON g.doc_id = r.doc_id AND g.token = r.token
+                 AND g.side = 'g' AND r.side = 'r'
+                GROUP BY g.doc_id
+            ), ksize AS (
+                SELECT doc_id, count(*) AS n_rk
+                FROM kw WHERE side = 'r' GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   round(((p.gen LIKE '%scan%')::INT + (p.gen LIKE '%join%')::INT
+                        + (p.gen LIKE '%window%')::INT
+                        + (p.gen LIKE '%table%')::INT) / 4.0, 6)
+                       AS concept_usage,
+                   round(CASE WHEN s.n_rw > 0
+                              THEN coalesce(w.n_int, 0) * 1.0 / s.n_rw
+                              ELSE 0.0 END, 6) AS word_overlap,
+                   length(p.gen) AS answer_length,
+                   CAST(s.n_gw AS BIGINT) AS vocabulary_size,
+                   round(CASE WHEN coalesce(k.n_rk, 0) > 0
+                              THEN coalesce(ki.n_int, 0) * 1.0 / k.n_rk
+                              ELSE 0.0 END, 6) AS keyword_match
+            FROM pairs p
+            LEFT JOIN sizes s ON p.doc_id = s.doc_id
+            LEFT JOIN wo w ON p.doc_id = w.doc_id
+            LEFT JOIN ksize k ON p.doc_id = k.doc_id
+            LEFT JOIN kint ki ON p.doc_id = ki.doc_id
+        """,
+        "q30_domain_coverage": """
+            WITH tok AS (
+                SELECT DISTINCT unnest(list_filter(string_split(
+                    regexp_replace(text, '[、。！？「」『』（）［］\\s]+',
+                                   ' ', 'g'), ' '), x -> x <> '')) AS token
+                FROM documents
+            ), agg AS (
+                SELECT count(*) AS n_ontology,
+                       CAST(sum(CASE WHEN token IN ('scan','join','window',
+                           'table','hash','merge','quantum','blockchain')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+                FROM tok
+            )
+            SELECT 8 AS n_domain, n_ontology, n_covered,
+                   round(n_covered / 8.0, 6) AS concept_coverage,
+                   round(n_covered * 1.0 / n_ontology, 6) AS concept_precision,
+                   round(2.0 * n_covered / (8 + n_ontology), 6) AS concept_f1
+            FROM agg
         """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
         # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.

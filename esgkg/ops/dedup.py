@@ -64,11 +64,21 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            k: int = 32, bands: int = 16,
                            shingle: int = 5,
                            jaccard_threshold: float = 0.7,
-                           max_bucket: int = 64) -> DataFrame:
+                           max_bucket: int = 64,
+                           recover_oversized: bool = True) -> DataFrame:
     """Near-duplicate id pairs via MinHash-LSH + exact-Jaccard verify.
 
     Shingles are character n-grams of the document text (word-shingles are a
-    one-line change in the kernel)."""
+    one-line change in the kernel).
+
+    Oversized band buckets (boilerplate skew) are excluded from the
+    quadratic pair join; with `recover_oversized` their members are
+    diverted to an EXACT content-hash pass — identical texts in a dropped
+    bucket still pair (jaccard 1.0, pairing each doc to the min-id keeper
+    of its hash group, so the recovery emits O(n) rows, never O(n²)).
+    Near-but-not-identical members of a dropped bucket remain the accepted
+    recall loss of the cap — that is the skew/recall trade every web-scale
+    dedup makes."""
     _session.ensure_shipped(docs.sparkSession)
 
     bands_schema = T.StructType(
@@ -92,7 +102,13 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                     rows.append((int(i), bi, bh))
             yield pd.DataFrame(rows, columns=["id", "band_id", "band_hash"])
 
-    b = docs.select(id_col, text_col).mapInPandas(mk_bands, schema=bands_schema)
+    # checkpoint: band rows feed the size histogram, the pair join, and the
+    # oversized-bucket recovery — without it the minhash UDF would run 3x
+    b = (
+        docs.select(id_col, text_col)
+        .mapInPandas(mk_bands, schema=bands_schema)
+        .localCheckpoint(eager=True)
+    )
     sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
     ok = b.join(
         sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
@@ -133,9 +149,41 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
             ]
             yield out
 
-    return (
+    verified = (
         cand.mapInPandas(verify, schema=verify_schema)
         .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    if not recover_oversized:
+        return verified
+    dropped_ids = (
+        b.join(
+            sizes.filter(F.col("n") > max_bucket).select(
+                "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("id")
+        .distinct()
+    )
+    dd = docs.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h")
+    ).join(dropped_ids, "id")
+    keep = dd.groupBy("h").agg(F.min("id").alias("keep_id"))
+    exact_pairs = (
+        dd.join(keep, "h")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(
+            F.col("keep_id").alias("a"),
+            F.col("id").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # a pair can appear in both passes (caught in a small bucket AND an
+    # oversized one) — keep one row per (a, b), preferring the exact pass
+    return (
+        verified.unionByName(exact_pairs)
+        .groupBy("a", "b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 

@@ -19,9 +19,10 @@ from . import kernel, synth
 
 def gold_text(n_pages: int, seed: int = synth.SEED) -> dict[str, str]:
     """url -> byte-exact extracted+cleaned text."""
+    g = synth.default_groups(n_pages)
     out: dict[str, str] = {}
     for i in range(n_pages):
-        p = synth.make_page(i, seed)
+        p = synth.make_page(i, seed, g)
         out[p["url"]] = kernel.page_text(p["html"])
     return out
 
@@ -29,9 +30,10 @@ def gold_text(n_pages: int, seed: int = synth.SEED) -> dict[str, str]:
 def gold_sections(n_pages: int, seed: int = synth.SEED) -> list[tuple[str, str, str]]:
     """(url, category, text) rows — multi-label keyword categorization
     (/root/reference/scripts/05_text_extraction.py:85-106)."""
+    g = synth.default_groups(n_pages)
     rows = []
     for i in range(n_pages):
-        p = synth.make_page(i, seed)
+        p = synth.make_page(i, seed, g)
         text = kernel.page_text(p["html"])
         if not text:
             continue
@@ -42,9 +44,10 @@ def gold_sections(n_pages: int, seed: int = synth.SEED) -> list[tuple[str, str, 
 
 def gold_triples(n_pages: int, seed: int = synth.SEED) -> set[tuple[str, str, str, str]]:
     """(subj, pred, obj, url) set from the sequential kernel extractor."""
+    g = synth.default_groups(n_pages)
     out: set[tuple[str, str, str, str]] = set()
     for i in range(n_pages):
-        p = synth.make_page(i, seed)
+        p = synth.make_page(i, seed, g)
         text = kernel.page_text(p["html"])
         for t in kernel.extract_triples(text, p["url"]):
             out.add(t)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .io import ParquetCatalog
 from .stages import canon, complete, corpus, graph, manifest, nlp
@@ -22,6 +23,11 @@ from .stages import canon, complete, corpus, graph, manifest, nlp
 
 _MEMO: dict[tuple, dict[str, DataFrame]] = {}
 _CLEANUP_REGISTERED: set[str] = set()
+
+# stage-name → wall seconds of the most recent build (bench-mode forcing
+# points only); populated when ESGKG_STAGE_TIMING=1 — the scaling-efficiency
+# profiler reads this to find constant-size tails
+LAST_TIMINGS: list[tuple[str, float]] = []
 
 
 def _register_scratch_cleanup(path: str) -> None:
@@ -83,17 +89,27 @@ def build_kg(
     ) else f"/tmp/esgkg-bench-{os.getpid()}"
     _register_scratch_cleanup(scratch)
 
+    timing = os.environ.get("ESGKG_STAGE_TIMING") == "1"
+
     def stage(name: str, make, partition_by=None) -> DataFrame:
+        import time as _time
+
+        t0 = _time.time() if timing else 0.0
         if runner is None:
             df = make()
             if name in _BIG:
                 path = f"{scratch}/{name}"
                 df.write.mode("overwrite").parquet(path)
-                return spark.read.parquet(path)
-            if name in _EAGER:
-                return df.localCheckpoint(eager=True)
-            return df.persist()
-        return runner.run_stage(name, fp, make, partition_by=partition_by)
+                out = spark.read.parquet(path)
+            elif name in _EAGER:
+                out = df.localCheckpoint(eager=True)
+            else:
+                out = df.persist()
+        else:
+            out = runner.run_stage(name, fp, make, partition_by=partition_by)
+        if timing:
+            LAST_TIMINGS.append((name, round(_time.time() - t0, 3)))
+        return out
 
     pages = corpus.synth_pages(spark, n_pages, seed)
     if runner is None:
@@ -114,14 +130,14 @@ def build_kg(
     def make_canon() -> DataFrame:
         from . import vocab
 
-        surfaces = linked.select("subj").union(linked.select("obj"))
+        # one scan of the triple stream (explode), not a union of two scans
+        surfaces = linked.select(
+            F.explode(F.array("subj", "obj")).alias("surface")
+        )
         protected = sorted(set(vocab.all_concept_surfaces().values())) + [
             "Organization"
         ]
-        return canon.canonical_map(
-            surfaces.withColumnRenamed("subj", "surface"),
-            exclude_exact=protected,
-        )
+        return canon.canonical_map(surfaces, exclude_exact=protected)
 
     cmap = stage("canon_map", make_canon)
     # no dropDuplicates here: the extractor dedups (s, p, o) per page
@@ -140,8 +156,17 @@ def build_kg(
         # bench mode: one materialize call — nodes are checkpointed inside
         # materialize (single job), edges checkpoint eagerly here (fan-out
         # into AA and the counts)
-        nodes, edges = graph.materialize(triples, spark)
+        import time as _time
+
+        t0 = _time.time()
+        # assume_closed: the pipeline's nodes are derived from exactly these
+        # triples' endpoints (+ seed), so the endpoint joins are no-ops —
+        # edge ids hash directly (pytest asserts equality with the generic
+        # join path)
+        nodes, edges = graph.materialize(triples, spark, assume_closed=True)
         edges = edges.localCheckpoint(eager=True)
+        if timing:
+            LAST_TIMINGS.append(("nodes_edges", round(_time.time() - t0, 3)))
     else:
         nodes_edges: dict[str, DataFrame] = {}
 

@@ -32,6 +32,15 @@ from pyspark.sql import types as T
 
 from .. import session as _session
 
+# which rung the most recent canonical_map took: "driver" | "dist_pairs" |
+# "dist_cc" — observability hook for tests asserting the distributed branch
+# actually runs at bench scale
+LAST_STRATEGY: str | None = None
+# whether the most recent connected_components call used the driver
+# union-find fast path ("local") or the iterative-join fixpoint
+# ("distributed")
+LAST_CC_STRATEGY: str | None = None
+
 _BANDS_SCHEMA = T.StructType(
     [
         T.StructField("surface", T.StringType(), False),
@@ -59,47 +68,90 @@ def band_rows(surfaces: DataFrame, col: str = "surface",
                     rows.append((s, bi, bh))
             yield pd.DataFrame(rows, columns=["surface", "band_id", "band_hash"])
 
+    # explicit repartition: AQE coalesces the (byte-tiny) distinct output to
+    # ~1 partition, but the minhash kernel is CPU-heavy per row — spread it
+    # across all cores regardless of byte size
+    par = surfaces.sparkSession.sparkContext.defaultParallelism
     return (
         surfaces.select(F.col(col).alias("surface"))
         .distinct()
+        .repartition(par)
         .mapInPandas(run, schema=_BANDS_SCHEMA)
     )
 
 
 def candidate_pairs(surfaces: DataFrame, col: str = "surface",
                     k: int = 32, bands: int = 16, ngram: int = 3,
-                    max_bucket: int = 64) -> DataFrame:
+                    max_bucket: int = 64,
+                    edit_prefilter: float | None = None) -> DataFrame:
     """LSH candidate pairs (a < b). Oversized buckets are excluded (skew
-    guard); at production scale they are diverted to a salted exact pass."""
-    # eager checkpoint: band rows feed the size histogram AND both sides of
-    # the pair self-join — without it the minhash UDF chain would execute up
-    # to four times (and concurrently race to populate a lazy cache)
-    b = band_rows(surfaces, col, k, bands, ngram).localCheckpoint(eager=True)
-    sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
-    ok = b.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
-        ["band_id", "band_hash"],
+    guard); at production scale they are diverted to a salted exact pass.
+
+    One shuffle: band rows group into buckets (collect_list), the size cap
+    filters oversized buckets, and pairs are emitted MAP-SIDE from each
+    bucket array with higher-order functions — no band self-join, no second
+    pass over the band table (the round-1 shape needed a size-histogram
+    groupBy + a join + a sort-merge self-join over the same rows, three
+    shuffles of fixed latency that dominated wall time at vocabulary scale).
+    The distinct() that dedups a pair colliding in several bands is a
+    shuffle of the (small) candidate set itself."""
+    b = band_rows(surfaces, col, k, bands, ngram)
+    buckets = (
+        b.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("surface")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
-    l, r = ok.alias("l"), ok.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.surface") < F.col("r.surface")),
+    ms = F.col("ms")
+    pair_arrays = F.transform(
+        ms,
+        lambda x, i: F.transform(
+            F.slice(ms, i + F.lit(2), F.size(ms)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    )
+    out = (
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.a", "p.b")
+    )
+    if edit_prefilter is not None:
+        # JVM levenshtein BEFORE the dedup shuffle: a pair colliding in
+        # several bands is exploded several times, but only survivors reach
+        # the distinct — the shuffle carries verified-scale rows, not
+        # candidate-scale ones
+        out = out.filter(
+            (
+                F.lit(1.0)
+                - F.levenshtein(F.col("a"), F.col("b"))
+                / F.greatest(F.length("a"), F.length("b"), F.lit(1))
+            )
+            >= edit_prefilter
         )
-        .select(F.col("l.surface").alias("a"), F.col("r.surface").alias("b"))
-        .distinct()
-    )
+    return out.distinct()
 
 
 def verify_pairs(pairs: DataFrame, threshold: float = 0.5,
-                 edit_threshold: float = 0.82, ngram: int = 3) -> DataFrame:
+                 edit_threshold: float = 0.88, ngram: int = 3) -> DataFrame:
     """C2 — conjunctive pair verification: exact char-ngram Jaccard (recall
     side, confirms the LSH estimate) AND edit similarity (precision side,
     rejects lookalikes that share shingles but differ structurally, e.g.
-    same-sector company names whose stems overlap)."""
+    same-sector company names whose stems overlap).
+
+    The edit-similarity criterion is evaluated twice: first as a JVM
+    whole-stage-codegen prefilter (F.levenshtein — identical to the kernel's
+    DP for BMP text since both count code units), which drops the ~99% of
+    LSH candidates that share a legal-suffix shingle but nothing else, then
+    exactly in the python kernel on the survivors (shared source of truth
+    with the driver-local rung). Python therefore touches only the
+    verified-scale row count, not the candidate-scale one."""
     _session.ensure_shipped(pairs.sparkSession)
+    pairs = pairs.filter(
+        (
+            F.lit(1.0)
+            - F.levenshtein(F.col("a"), F.col("b"))
+            / F.greatest(F.length("a"), F.length("b"), F.lit(1))
+        )
+        >= edit_threshold
+    )
     schema = T.StructType(
         [
             T.StructField("a", T.StringType(), False),
@@ -123,7 +175,11 @@ def verify_pairs(pairs: DataFrame, threshold: float = 0.5,
             ]
             yield out[["a", "b", "sim", "edit_sim"]]
 
-    return pairs.mapInPandas(run, schema=schema).filter(
+    # repartition for the same reason as band_rows: the candidate-pair set
+    # is byte-tiny (AQE → 1 partition) but the edit-distance DP is O(len²)
+    # CPU per row
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(par).mapInPandas(run, schema=schema).filter(
         (F.col("sim") >= threshold) & (F.col("edit_sim") >= edit_threshold)
     )
 
@@ -144,11 +200,13 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
     driver (≤ small_threshold edges) we run exact union-find locally and
     broadcast the result — identical output, none of the iterative-join
     latency. The distributed fixpoint is the ≥threshold path."""
+    global LAST_CC_STRATEGY
     spark = pairs.sparkSession
     # single job: grab up to threshold+1 rows; only fall back to the
     # distributed fixpoint when the pair graph is genuinely large
     head = pairs.limit(small_threshold + 1).collect()
     if len(head) <= small_threshold:
+        LAST_CC_STRATEGY = "local"
         rows = head
         parent: dict[str, str] = {}
 
@@ -177,6 +235,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
         if not out:
             return spark.createDataFrame([], "surface string, canonical string")
         return spark.createDataFrame(out, "surface string, canonical string")
+    LAST_CC_STRATEGY = "distributed"
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -218,7 +277,7 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
 
 def canonical_map_local(surfaces: list[str],
                         jaccard_threshold: float = 0.5,
-                        edit_threshold: float = 0.82,
+                        edit_threshold: float = 0.88,
                         max_bucket: int = 64,
                         ngram: int = 3, k: int = 32,
                         bands: int = 16) -> dict[str, str]:
@@ -269,10 +328,11 @@ def canonical_map_local(surfaces: list[str],
 
 def canonical_map(surfaces: DataFrame, col: str = "surface",
                   jaccard_threshold: float = 0.5,
-                  edit_threshold: float = 0.82,
+                  edit_threshold: float = 0.88,
                   max_bucket: int = 64,
                   exclude_exact: list[str] | None = None,
-                  small_threshold: int = 100_000) -> DataFrame:
+                  driver_threshold: int = 4_096,
+                  pair_threshold: int = 200_000) -> DataFrame:
     """surface → canonical for every input surface (identity for singletons).
 
     Merging is the transitive closure over verified pairs: two variants that
@@ -284,21 +344,31 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
     `exclude_exact`: surfaces that are already canonical by construction
     (the ontology dictionary) are excluded from pair generation so that
     distinct but textually close concepts (e.g. コンプライアンス vs
-    コンプライアンス体制) are never merged."""
+    コンプライアンス体制) are never merged.
+
+    Strategy ladder (scale-adaptive, every rung tested equal):
+    1. ≤ `driver_threshold` distinct surfaces → everything on the driver
+       (collect + local LSH/verify/union-find). Test/seed scale only; the
+       LSH hashing is single-threaded here, so this rung must stay tiny —
+       round 1 ran it up to 100k surfaces and the serial hashing became a
+       scaling-gate tail.
+    2. otherwise → DISTRIBUTED banding + verification (mapInPandas, scales
+       with cores); the verified near-dup pair graph is orders of magnitude
+       smaller than the vocabulary, so ≤ `pair_threshold` pairs finish with
+       a driver union-find (exact, no iterative-join latency), and only a
+       genuinely huge pair graph takes the distributed CC fixpoint."""
     # one distinct over the (large) surface stream feeds both the LSH pool
     # and the identity join — computed once, reused
+    global LAST_STRATEGY
     all_s = (
         surfaces.select(F.col(col).alias("surface"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     spark = surfaces.sparkSession
-    # scale-adaptive: the DISTINCT surface vocabulary is typically orders of
-    # magnitude smaller than the corpus; below the threshold run the exact
-    # same LSH+verify+union-find on the driver (identical output, none of
-    # the iterative-join latency). Above it, the distributed path.
-    head = all_s.limit(small_threshold + 1).collect()
-    if len(head) <= small_threshold:
+    head = all_s.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        LAST_STRATEGY = "driver"
         excl = set(exclude_exact or ())
         pool_local = [r[0] for r in head if r[0] and r[0] not in excl]
         cm = canonical_map_local(
@@ -317,12 +387,23 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
     pool = all_s
     if exclude_exact:
         pool = pool.filter(~F.col("surface").isin(exclude_exact))
+    # the banding→bucket→pair→verify chain is ONE lazy plan; the (tiny)
+    # verified pair set is collected exactly once by connected_components'
+    # size probe, so no intermediate materialization is needed on the
+    # dist_pairs rung (the common one). Only the rare dist_cc rung
+    # (> pair_threshold verified pairs) re-evaluates the chain.
     pairs = verify_pairs(
-        candidate_pairs(pool, "surface", max_bucket=max_bucket),
+        candidate_pairs(pool, "surface", max_bucket=max_bucket,
+                        edit_prefilter=edit_threshold),
         threshold=jaccard_threshold,
         edit_threshold=edit_threshold,
     ).select("a", "b")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, small_threshold=pair_threshold)
+    local_cc = LAST_CC_STRATEGY == "local"
+    LAST_STRATEGY = "dist_pairs" if local_cc else "dist_cc"
+    # the union-find result is tiny (≤ pair_threshold nodes) → broadcast it
+    # into the identity join over the full vocabulary
+    comp = F.broadcast(comp) if local_cc else comp
     return (
         all_s.join(comp, "surface", "left")
         .select(

@@ -44,14 +44,21 @@ def adamic_adar(edges: DataFrame, top_k: int = 10,
     every executor — it runs as a repartitioned self-join on the shared
     vertex z with AQE skew-split handling the residual imbalance the
     `max_degree` hub cap has already bounded."""
-    und = undirected(edges)
+    # und feeds the degree table, the neighbor lists AND the existing-edge
+    # anti-join — persist so the distinct shuffle runs once (consumers are
+    # sequential actions, so the lazy cache populates without a race)
+    und = undirected(edges).persist()
     deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("deg"))
     # neighbor lists keyed by the shared vertex z
     nbrs = und.select(F.col("b").alias("z"), F.col("a").alias("n"))
     nbrs = nbrs.join(
         F.broadcast(deg.filter(F.col("deg") <= max_degree)), "z"
     )  # hub cap: drops negligible-weight, quadratic-cost hubs
-    nbrs = nbrs.localCheckpoint(eager=True)
+    # round-robin repartition before the checkpoint: the neighbor table is
+    # byte-small (AQE coalesces it to ~1 partition) but the pair self-join
+    # explodes deg² rows per z — per-partition CPU, so spread z rows evenly
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    nbrs = nbrs.repartition(par).localCheckpoint(eager=True)
     n_nbrs = nbrs.count()  # cheap: checkpointed one line above
     l = nbrs.alias("l")
     r = (

@@ -46,15 +46,20 @@ TEXT_SCHEMA = T.StructType(
 
 def synth_pages(spark: SparkSession, n: int, seed: int = 42,
                 partitions: int | None = None) -> DataFrame:
-    """Deterministic distributed pages table: one row per id in [0, n)."""
+    """Deterministic distributed pages table: one row per id in [0, n).
+    The org pool scales with n (synth.default_groups) so downstream graph
+    stages grow with the corpus."""
     _session.ensure_shipped(spark)
     parts = partitions or spark.sparkContext.defaultParallelism
+    from esgkg import synth
+
+    n_groups = synth.default_groups(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from esgkg import synth
 
         for pdf in batches:
-            rows = [synth.make_page(int(i), seed) for i in pdf["id"]]
+            rows = [synth.make_page(int(i), seed, n_groups) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA])
 
     return (

@@ -55,6 +55,7 @@ def seed_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
 def materialize(
     triples: DataFrame, spark: SparkSession,
     broadcast_threshold: int = 2_000_000,
+    assume_closed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """canonical triples (+ seed) → (nodes, edges).
 
@@ -77,7 +78,17 @@ def materialize(
     aggregation. The name dimension is broadcast only below
     `broadcast_threshold` rows; above it the endpoint resolution is a shuffle
     join on the name key (AQE handles residual skew) — a web-scale surface
-    vocabulary does not fit in every executor."""
+    vocabulary does not fit in every executor.
+
+    `assume_closed`: when the caller guarantees every triple endpoint IS a
+    node (true for this pipeline by construction — nodes are derived from
+    exactly the triple endpoints plus the seed), the J3 endpoint-existence
+    joins are provably no-ops and edge ids are computed directly as the
+    deterministic name hash: no dimension build, no join, a narrower
+    shuffle (16-byte ids instead of name strings), and edges no longer
+    depend on the nodes table at all. The default (False) keeps the
+    reference's silent-drop semantics for arbitrary inputs; a pytest
+    asserts both paths are identical on pipeline data."""
     _session.ensure_shipped(spark)
     seed_nodes, seed_edges = seed_graph(spark)
 
@@ -145,32 +156,43 @@ def materialize(
             "url", F.lit("seed://ontology")
         )
     )
-    # J3 endpoint-existence inner joins (silent-drop semantics), size-gated:
-    # broadcast the name dimension only while it is genuinely small
-    names = nodes.select("name", "id")
-    n_names = nodes.count()  # cheap: nodes is checkpointed above
+    if assume_closed:
+        resolved = all_edges.select(
+            _name_id(F.col("src_name")).alias("src"),
+            _name_id(F.col("dst_name")).alias("dst"),
+            "relation",
+            "confidence",
+            "url",
+        )
+    else:
+        # J3 endpoint-existence inner joins (silent-drop semantics),
+        # size-gated: broadcast the name dimension only while it is small
+        names = nodes.select("name", "id")
+        n_names = nodes.count()  # cheap: nodes is checkpointed above
 
-    def _dim(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if n_names <= broadcast_threshold else df
+        def _dim(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_names <= broadcast_threshold else df
 
+        resolved = (
+            all_edges.join(
+                _dim(
+                    names.withColumnRenamed(
+                        "name", "src_name"
+                    ).withColumnRenamed("id", "src")
+                ),
+                "src_name",
+            )
+            .join(
+                _dim(
+                    names.withColumnRenamed(
+                        "name", "dst_name"
+                    ).withColumnRenamed("id", "dst")
+                ),
+                "dst_name",
+            )
+        )
     edges = (
-        all_edges.join(
-            _dim(
-                names.withColumnRenamed("name", "src_name").withColumnRenamed(
-                    "id", "src"
-                )
-            ),
-            "src_name",
-        )
-        .join(
-            _dim(
-                names.withColumnRenamed("name", "dst_name").withColumnRenamed(
-                    "id", "dst"
-                )
-            ),
-            "dst_name",
-        )
-        .groupBy("src", "dst", "relation")
+        resolved.groupBy("src", "dst", "relation")
         .agg(F.max("confidence").alias("confidence"), F.min("url").alias("url"))
         .select("src", "dst", "relation", "confidence", "url")
     )
@@ -372,3 +394,85 @@ def embed_nodes(nodes: DataFrame) -> DataFrame:
             yield out
 
     return nodes.select("id", "name").mapInPandas(run, schema=schema)
+
+
+def embed_nodes_incremental(nodes: DataFrame,
+                            existing: DataFrame | None) -> DataFrame:
+    """J5 — the reference's embedding-cache pattern
+    (/root/reference/src/rag/graph_rag.py:142-148: compute only vectors not
+    already cached, keep the rest) as a left-anti incremental fill: vectors
+    for ids present in `existing` are reused verbatim; only the missing ids
+    run the encoder."""
+    if existing is None:
+        return embed_nodes(nodes)
+    missing = nodes.join(existing.select("id"), "id", "left_anti")
+    return existing.select("id", "name", "vec").unionByName(
+        embed_nodes(missing)
+    )
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
+             tol: float = 1.0e-6) -> DataFrame:
+    """G8 — PageRank as an iterative DataFrame fixpoint (README-parity slot;
+    the reference only name-drops community/centrality analysis). Matches
+    networkx.pagerank semantics: uniform personalization, dangling mass
+    redistributed uniformly, L1 convergence test.
+
+    Scale shape: each round is one join on src + one groupBy on dst — both
+    hash-partitioned on the vertex key so AQE reuses the exchange; lineage is
+    cut per round with localCheckpoint. Ranks are (id, rank) — never an
+    adjacency broadcast."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        with_deg = ranks.join(out_deg, "id", "left")
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("out_deg").isNotNull())
+                .select(F.col("id").alias("src"),
+                        (F.col("rank") / F.col("out_deg")).alias("w")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        new_ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

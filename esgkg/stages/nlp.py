@@ -106,6 +106,9 @@ def synth_linked_triples(spark, n: int, seed: int = 42,
     (measured: the unfused chain was system-CPU-bound at local[32])."""
     _session.ensure_shipped(spark)
     parts = partitions or spark.sparkContext.defaultParallelism
+    from esgkg import synth as _synth
+
+    n_groups = _synth.default_groups(n)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from esgkg import kernel, synth, vocab
@@ -131,7 +134,7 @@ def synth_linked_triples(spark, n: int, seed: int = 42,
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
-                p = synth.make_page(int(i), seed)
+                p = synth.make_page(int(i), seed, n_groups)
                 text = kernel.page_text(p["html"])
                 for s, pr, o, u in kernel.extract_triples(text, p["url"]):
                     rows.append((link(s), pr, link(o), u, 1.0))

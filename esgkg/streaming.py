@@ -85,3 +85,72 @@ def windowed_page_counts(pages_stream: DataFrame,
         .groupBy(F.window("warc_ts", window), "lang")
         .agg(F.count("*").alias("n_pages"))
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_idx long, n_events long, duration_sec long"
+)
+SESSION_STATE_SCHEMA = (
+    "last_tsec long, start_tsec long, n_events long, session_idx long"
+)
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Stateful streaming sessionization — the custom stateful operator slot
+    (SURVEY.md §2.10): gap-based sessions per user via
+    ``applyInPandasWithState``. Emits a (user_id, session_idx, n_events,
+    duration_sec) row whenever a session CLOSES — either a later event
+    arrives past the gap, or the processing-time timeout fires with no new
+    events. The batch analog (identical closed-session rows) is the
+    lag-window sessionizer of __spark_entry__ q27, which is the
+    oracle-checkable ground truth.
+
+    State per user is O(1) (4 longs); event order is assumed in-order per
+    user within the stream (late data would need an event-time watermark
+    variant — documented limitation of the processing-time design)."""
+    import pandas as pd
+
+    cols = ["user_id", "session_idx", "n_events", "duration_sec"]
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last, start, n, idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, idx, n, last - start)], columns=cols
+            )
+            return
+        if state.exists:
+            last, start, n, idx = state.get
+        else:
+            last = start = None
+            n = 0
+            idx = 0
+        rows = []
+        for pdf in pdfs:
+            for tsec in pdf["tsec"]:
+                tsec = int(tsec)
+                if last is None:
+                    idx += 1
+                    start, n = tsec, 1
+                elif tsec - last > gap_sec:
+                    rows.append((user_id, idx, n, last - start))
+                    idx += 1
+                    start, n = tsec, 1
+                else:
+                    n += 1
+                last = tsec
+        state.update((last, start, n, idx))
+        state.setTimeoutDuration(gap_sec * 1000)
+        yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -16,10 +16,27 @@ from __future__ import annotations
 
 import datetime
 import random
+from functools import lru_cache
 
 from . import vocab
 
 SEED = 42
+
+# ~1 org per this many pages when the pool scales with corpus size
+PAGES_PER_ORG = 100
+
+
+def default_groups(n_pages: int) -> int:
+    """Org-pool size as a function of corpus size (min: the 88-group base
+    pool). Round 1 kept the pool fixed, so canonicalization / graph / link-
+    prediction stages saturated at ~350 surfaces and became a constant-size
+    serial tail that killed the N→4N scaling gate — with the pool growing
+    ~1 org per 100 pages, those stages carry data-proportional parallel
+    work at bench scale, as they would on a real corpus."""
+    # capped at 16384 groups (3-unit stems, name length ≤ 15) so the
+    # cross-group edit-distance separation guarantee of `_stem_for` holds
+    # at any corpus size
+    return min(max(88, n_pages // PAGES_PER_ORG), 16384)
 
 # Katakana stems for company-name generation.
 _STEMS = (
@@ -45,17 +62,55 @@ def org_surface_variants(base: str) -> list[str]:
     return [base, v1, v2]
 
 
-def company_pool() -> list[list[str]]:
-    """Deterministic list of canonical-group surface lists (JA orgs with
-    variants, plus EN orgs without variants)."""
-    groups: list[list[str]] = []
+# Extension-stem unit alphabet: unit i = _P1[i]+_P2[i]+_P3[i]. The three
+# position alphabets are (a) pairwise-distinct within each position, so any
+# two units differ in ALL 3 chars, and (b) disjoint from the base-pool stems'
+# chars at the same positions — so any two distinct org names in the whole
+# pool differ by edit distance ≥ 3 while a name's surface VARIANTS differ by
+# only 1 edit. That separation is what lets the canonicalizer's conjunctive
+# verify (jaccard ≥ 0.5 AND edit_sim ≥ 0.88) merge variants with zero
+# cross-group merges at any pool size.
+_P1 = "エオキクケセソチテトナヌネノヒマ"
+_P2 = "アエオカキケコサスセソタチテナニ"
+_P3 = "クケコシスソタチツナニヌネハヒフ"
+
+
+_UNITS = tuple(_P1[i] + _P2[i] + _P3[i] for i in range(16))
+
+
+def _stem_for(k: int) -> str:
+    """Unique katakana stem for extension index k: one 3-char unit per
+    base-16 digit of k. Two distinct k differ in ≥1 digit, and two distinct
+    units differ in all 3 chars, so any two stems are at edit distance ≥ 3
+    (different digit counts add ≥3 via length). Pure katakana → always
+    inside the extractor's org charclass (kernel._ORG_PAT)."""
+    parts = [_UNITS[k % 16]]
+    k //= 16
+    while k:
+        parts.append(_UNITS[k % 16])
+        k //= 16
+    return "".join(parts)
+
+
+@lru_cache(maxsize=8)
+def company_pool(n_groups: int = 88) -> tuple[tuple[str, ...], ...]:
+    """Deterministic tuple of canonical-group surface tuples (JA orgs with
+    variants, plus EN orgs without variants). The first 88 groups are the
+    fixed base pool; groups beyond that are generated JA orgs with a unique
+    (multi-stem, sector) pair each — the pool scales with the corpus via
+    `default_groups` so the canon/graph stages see a growing vocabulary."""
+    groups: list[tuple[str, ...]] = []
     for st in _STEMS:
         for sec in _SECTORS[:4]:
-            groups.append(org_surface_variants(st + sec + "株式会社"))
+            groups.append(tuple(org_surface_variants(st + sec + "株式会社")))
     for st in _EN_STEMS:
         for sec in _EN_SECTORS[:3]:
-            groups.append([f"{st} {sec} Inc"])
-    return groups
+            groups.append((f"{st} {sec} Inc",))
+    for gid in range(88, n_groups):
+        k = gid - 88
+        base = _stem_for(k // 8) + _SECTORS[k % 8] + "株式会社"
+        groups.append(tuple(org_surface_variants(base)))
+    return tuple(groups[:n_groups])
 
 
 _CONCEPTS = [c for c, p, _ in vocab.HIERARCHY if p not in ("ROOT",)]
@@ -75,13 +130,37 @@ _FILLER_EN = (
 )
 
 
-def make_page(page_id: int, seed: int = SEED) -> dict:
-    """Pure function (seed, page_id) -> pages row."""
+_METRICS = ["CO2排出量", "エネルギー消費量", "離職率",
+            "労働災害度数率", "女性管理職比率", "独立取締役比率"]
+
+
+@lru_cache(maxsize=65536)
+def _org_concepts(gid: int) -> tuple[str, ...]:
+    """Deterministic per-org concept neighborhood (~1/3 of the dictionary).
+    Each org mentions only ITS subset, so org-node degree stays bounded
+    (~|subset|) while the number of graph nodes/edges grows linearly with
+    the org pool — the shape a real corpus has, and the property that keeps
+    the Adamic-Adar triangle join data-proportional instead of quadratic."""
+    r = random.Random(0xC0FFEE ^ gid)
+    return tuple(sorted(r.sample(_CONCEPTS, 24)))
+
+
+@lru_cache(maxsize=65536)
+def _org_en_aliases(gid: int) -> tuple[str, ...]:
+    r = random.Random(0xEA7 ^ gid)
+    return tuple(sorted(r.sample(_EN_ALIASES, 16)))
+
+
+def make_page(page_id: int, seed: int = SEED, n_groups: int = 88) -> dict:
+    """Pure function (seed, page_id, n_groups) -> pages row."""
     rng = random.Random((seed << 20) ^ page_id)
-    groups = company_pool()
-    grp = groups[page_id % len(groups)]
+    groups = company_pool(n_groups)
+    gid = page_id % len(groups)
+    grp = groups[gid]
     company = grp[rng.randrange(len(grp))]
     lang = "en" if company[0].isascii() and rng.random() < 0.7 else "ja"
+    concepts = _org_concepts(gid)
+    en_aliases = _org_en_aliases(gid)
 
     sentences: list[str] = []
     n_rel = rng.randint(3, 8)
@@ -90,18 +169,17 @@ def make_page(page_id: int, seed: int = SEED) -> dict:
             rng.randrange(len(vocab.RELATION_TEMPLATES))
         ]
         if lang == "ja":
-            s = company if rng.random() < 0.4 else rng.choice(_CONCEPTS)
+            s = company if rng.random() < 0.4 else rng.choice(concepts)
             if pred == "regulated_by":
                 o = rng.choice(vocab.LAWS)
             elif pred == "measured_by":
-                o = rng.choice(["CO2排出量", "エネルギー消費量", "離職率",
-                                "労働災害度数率", "女性管理職比率", "独立取締役比率"])
+                o = rng.choice(_METRICS)
             else:
-                o = rng.choice(_CONCEPTS)
+                o = rng.choice(concepts)
             sentences.append(ja_tpl.format(s=s, o=o))
         else:
-            s = company if rng.random() < 0.4 else rng.choice(_EN_ALIASES)
-            o = rng.choice(_EN_ALIASES)
+            s = company if rng.random() < 0.4 else rng.choice(en_aliases)
+            o = rng.choice(en_aliases)
             if pred == "regulated_by":
                 o = rng.choice(vocab.LAWS)
             sentences.append(en_tpl.format(s=s, o=o))
@@ -138,10 +216,10 @@ def make_page(page_id: int, seed: int = SEED) -> dict:
     }
 
 
-def gold_canon_groups() -> list[tuple[str, int]]:
+def gold_canon_groups(n_groups: int = 88) -> list[tuple[str, int]]:
     """(surface, canonical_group_id) ground truth for canonicalization tests."""
     out = []
-    for gid, grp in enumerate(company_pool()):
+    for gid, grp in enumerate(company_pool(n_groups)):
         for s in grp:
             out.append((s, gid))
     return out

@@ -106,13 +106,22 @@ def test_canonical_map_local_equals_distributed(spark, text_df):
             surfaces, exclude_exact=protected
         ).collect()
     }
+    # rung 2: distributed banding/verify + driver union-find on pairs
+    mid = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(
+            surfaces, exclude_exact=protected, driver_threshold=0
+        ).collect()
+    }
+    # rung 3: distributed banding/verify + distributed CC fixpoint
     dist = {
         r.surface: r.canonical
         for r in canon.canonical_map(
-            surfaces, exclude_exact=protected, small_threshold=0
+            surfaces, exclude_exact=protected, driver_threshold=0,
+            pair_threshold=0
         ).collect()
     }
-    assert fast == dist
+    assert fast == mid == dist
 
 
 def test_cc_matches_networkx(spark):

@@ -179,3 +179,128 @@ def test_predict_links_neighborhood_matches_bruteforce(spark):
     assert [(n, round(1.0 - math.exp(-s), 9)) for n, s in want] == [
         (n, round(p, 9)) for n, p in got
     ]
+
+
+def test_scaled_vocab_pool_determinism_and_extractability():
+    """company_pool(n) is deterministic, collision-free, and every generated
+    surface stays inside the extractor's org pattern."""
+    import re
+
+    from esgkg import kernel, synth
+
+    pool = synth.company_pool(3000)
+    assert pool == synth.company_pool(3000)
+    assert pool[:88] == synth.company_pool(88)  # base pool is a stable prefix
+    all_surfaces = [s for grp in pool for s in grp]
+    assert len(all_surfaces) == len(set(all_surfaces))
+    pat = re.compile(kernel._ORG_PAT)
+    for grp in pool[::97]:  # sample across the range
+        for s in grp:
+            m = pat.fullmatch(s)
+            assert m, s
+
+
+def test_scaled_vocab_extraction_pr(spark):
+    """Triple extraction stays P/R=1.0 vs the single-node oracle on pages
+    drawn from the EXTENDED org pool (page ids beyond the base 88 groups)."""
+    from esgkg import kernel, oracle, synth
+    from esgkg.stages import corpus, nlp
+
+    n_groups = 2000
+    ids = list(range(88, 488))  # extended-pool orgs only
+    gold = set()
+    for i in ids:
+        p = synth.make_page(i, n_groups=n_groups)
+        for t in kernel.extract_triples(kernel.page_text(p["html"]), p["url"]):
+            gold.add(t)
+    rows = [synth.make_page(i, n_groups=n_groups) for i in ids]
+    pages = spark.createDataFrame(rows, corpus.PAGES_SCHEMA)
+    got = {
+        (r.subj, r.pred, r.obj, r.url)
+        for r in nlp.extract_triples(corpus.extract_text(pages)).collect()
+    }
+    p, r, f1 = oracle.precision_recall(got, gold)
+    assert p == 1.0 and r == 1.0
+
+
+def test_canonical_map_distributed_rung_purity_at_scale(spark):
+    """At >4096 distinct surfaces canonical_map must take the distributed
+    banding/verify rung, and the result must be pure (never merges two
+    different gold groups) and complete (variants of one group merge)."""
+    from esgkg import synth
+    from esgkg.stages import canon
+
+    gold = synth.gold_canon_groups(2000)  # ~5.9k surfaces
+    assert len(gold) > 4096
+    surfaces = spark.createDataFrame(
+        [(s,) for s, _ in gold], "surface string"
+    )
+    cm = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(surfaces).collect()
+    }
+    assert canon.LAST_STRATEGY == "dist_pairs"
+    gid_of = dict(gold)
+    # purity: a canonical form never spans two gold groups
+    by_canon: dict[str, set[int]] = {}
+    for s, c in cm.items():
+        by_canon.setdefault(c, set()).add(gid_of[s])
+    assert all(len(g) == 1 for g in by_canon.values())
+    # completeness: every JA group's variants collapse to one canonical form
+    from collections import defaultdict
+
+    canons_per_gid = defaultdict(set)
+    for s, gid in gold:
+        canons_per_gid[gid].add(cm[s])
+    n_multi = sum(1 for grp in synth.company_pool(2000) if len(grp) > 1)
+    merged = sum(
+        1
+        for gid, cs in canons_per_gid.items()
+        if len(synth.company_pool(2000)[gid]) > 1 and len(cs) == 1
+    )
+    # recall bound is the LSH banding probability: boundary variants sit at
+    # 3-gram jaccard s≈0.5, so P(candidate) = 1-(1-s²)^16 ≈ 0.99 per pair
+    # and ≈0.98 for a fully-merged 3-surface group — not a verification miss
+    assert merged / n_multi >= 0.97
+
+
+def test_minhash_oversized_bucket_exact_recovery(spark):
+    """Identical boilerplate that lands in dropped (oversized) LSH buckets
+    must still dedup via the exact content-hash diversion — O(n) recovery
+    rows pairing each doc to its hash-group keeper."""
+    boiler = [(i, "the same boilerplate page body " * 20) for i in range(200)]
+    near = [
+        (900, "a distinctive document about adaptive query execution here"),
+        (901, "a distinctive document about adaptive query execution there"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, shingle=5, jaccard_threshold=0.6, max_bucket=32
+    ).collect()
+    got = {(r.a, r.b) for r in pairs}
+    # every boilerplate doc pairs with the keeper (id 0): exactly 199 rows
+    assert {(0, i) for i in range(1, 200)} <= got
+    assert (900, 901) in got
+    # recovery is linear, not quadratic: no (1, 2)-style non-keeper pairs
+    # beyond what small buckets legitimately emit
+    assert len(got) < 500
+    # without recovery the boilerplate is lost entirely
+    got_off = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_dup_pairs(
+            docs, shingle=5, jaccard_threshold=0.6, max_bucket=32,
+            recover_oversized=False,
+        ).collect()
+    }
+    assert not any(a < 200 and b < 200 for a, b in got_off)
+
+
+def test_materialize_closed_world_equals_join_path(spark):
+    """assume_closed (direct hash ids, no endpoint joins) must produce
+    byte-identical nodes and edges on pipeline data, where every endpoint
+    is a node by construction."""
+    linked = _triples(spark, 100)
+    n1, e1 = graph.materialize(linked, spark)
+    n2, e2 = graph.materialize(linked, spark, assume_closed=True)
+    assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
