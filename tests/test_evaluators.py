@@ -179,3 +179,29 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     # closed sessions only: user 1 closes (0..200) and (5000..5100);
     # the trailing session 99999 and user 2's only session stay open
     assert got == {(1, 1, 3, 200), (1, 2, 2, 100)}
+
+
+def test_export_viz_writes_valid_dot(spark, tmp_path):
+    from esgkg.stages import graph
+
+    nodes, edges = graph.seed_graph(spark)
+    from pyspark.sql import functions as F
+
+    nodes = nodes.select(
+        F.xxhash64("name", F.lit(42)).alias("id"), "name", "category", "kind"
+    )
+    ids = nodes.select("name", "id")
+    e = (
+        edges.join(ids.withColumnRenamed("name", "src_name")
+                   .withColumnRenamed("id", "src"), "src_name")
+        .join(ids.withColumnRenamed("name", "dst_name")
+              .withColumnRenamed("id", "dst"), "dst_name")
+        .select("src", "dst", "relation")
+    )
+    p = str(tmp_path / "ontology.dot")
+    graph.export_viz(nodes, e, p, max_nodes=50)
+    dot = open(p, encoding="utf-8").read()
+    assert dot.startswith("digraph esg {") and dot.rstrip().endswith("}")
+    assert dot.count("->") > 10          # edges present
+    assert "fillcolor" in dot            # category coloring
+    assert "気候変動" in dot              # real node labels survive
