@@ -43,7 +43,11 @@ def main() -> None:
 
     t0 = time.time()
     out = pipeline.build_kg(spark, args.pages)
-    n_triples = out["triples"].count()
+    # canonical rewrite is row-count-preserving (left join on the map's
+    # unique surface key; pytest test_rewrite_preserves_row_count), so the
+    # triple count reads the linked-parquet footer instead of re-running the
+    # rewrite join purely to count it
+    n_triples = out["linked_triples"].count()
     n_edges = out["edges"].count()
     n_links = out["predicted_links"].count()
     elapsed = time.time() - t0

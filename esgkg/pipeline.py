@@ -83,7 +83,7 @@ def build_kg(
     # on the JVM heap (gigabytes at millions of triples -> GC thrash that
     # got worse with more cores), while a parquet write+read keeps the data
     # columnar/compressed and the scan off-heap. /dev/shm makes it RAM-speed.
-    _BIG = {"linked_triples", "triples"}
+    _BIG = {"linked_triples"}
     scratch = f"/dev/shm/esgkg-bench-{os.getpid()}" if os.path.isdir(
         "/dev/shm"
     ) else f"/tmp/esgkg-bench-{os.getpid()}"
@@ -146,25 +146,44 @@ def build_kg(
     # through the canonical map cannot introduce (s,p,o,url) collisions
     # except when two surfaces in ONE page map to the same canonical form —
     # the downstream edges table dedups (src, dst, relation) anyway.
-    triples = stage(
-        "triples",
-        lambda: canon.rewrite_triples(linked, cmap),
-        partition_by=["pred"],
-    )
+    if runner is None:
+        # bench mode: the canonical rewrite stays LAZY — it is a broadcast
+        # join against the (checkpointed) canonical map over the linked
+        # parquet scratch, so each consumer re-derives it as one codegen'd
+        # scan+join. Materializing it was a second full-width parquet write
+        # whose cost was flat across core counts (memory-bandwidth-bound on
+        # tmpfs) — pure scaling-tail; two extra scans parallelize, the write
+        # did not. Row count is provably preserved (left join on the map's
+        # unique surface key — pytest asserts), so consumers needing only
+        # the count can read the linked parquet footer instead.
+        triples = canon.rewrite_triples(linked, cmap)
+    else:
+        triples = stage(
+            "triples",
+            lambda: canon.rewrite_triples(linked, cmap),
+            partition_by=["pred"],
+        )
 
     if runner is None:
-        # bench mode: one materialize call — nodes are checkpointed inside
-        # materialize (single job), edges checkpoint eagerly here (fan-out
-        # into AA and the counts)
+        # bench mode: nodes and edges are INDEPENDENT plans under
+        # assume_closed (edge ids hash directly from names; pytest asserts
+        # equality with the generic endpoint-join path), so build them
+        # concurrently — two driver threads submit both jobs and the
+        # scheduler backfills each job's scheduling gaps (shuffle-write
+        # stalls, partial-agg tails) with the other's tasks. This was the
+        # largest ≤2x-scaling stage in the N→4N profile.
         import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
         t0 = _time.time()
-        # assume_closed: the pipeline's nodes are derived from exactly these
-        # triples' endpoints (+ seed), so the endpoint joins are no-ops —
-        # edge ids hash directly (pytest asserts equality with the generic
-        # join path)
-        nodes, edges = graph.materialize(triples, spark, assume_closed=True)
-        edges = edges.localCheckpoint(eager=True)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(graph.materialize_nodes, triples, spark)
+            f_edges = pool.submit(
+                lambda: graph.materialize_edges(
+                    triples, spark, assume_closed=True
+                ).localCheckpoint(eager=True)
+            )
+            nodes, edges = f_nodes.result(), f_edges.result()
         if timing:
             LAST_TIMINGS.append(("nodes_edges", round(_time.time() - t0, 3)))
     else:

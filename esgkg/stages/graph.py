@@ -52,6 +52,134 @@ def seed_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return nodes, edges
 
 
+def materialize_nodes(triples: DataFrame, spark: SparkSession) -> DataFrame:
+    """The nodes half of `materialize` (see its docstring): one pass over the
+    triple stream (endpoint explode → per-name aggregation → category join),
+    checkpointed eagerly. Split out so the bench pipeline can build nodes and
+    edges CONCURRENTLY — with `assume_closed` the edge plan does not depend
+    on the node table, and the two jobs' scheduling gaps overlap (the
+    nodes+edges stage was the largest fixed-latency tail in the N→4N
+    scaling profile)."""
+    _session.ensure_shipped(spark)
+    seed_nodes, _ = seed_graph(spark)
+    ends = triples.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("name"),
+                    (F.col("pred") == "instance_of").alias("is_inst"),
+                ),
+                F.struct(
+                    F.col("obj").alias("name"), F.lit(False).alias("is_inst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    names_agg = (
+        ends.select("name", "is_inst", F.lit(1).cast("long").alias("m"))
+        .unionByName(
+            seed_nodes.select(
+                "name",
+                F.lit(False).alias("is_inst"),
+                F.lit(0).cast("long").alias("m"),
+            )
+        )
+        .groupBy("name")
+        .agg(
+            F.max("is_inst").alias("is_instance"),
+            F.sum("m").alias("mentions"),
+        )
+    )
+    cat = vocab.concept_category()
+    cat_df = F.broadcast(
+        triples.sparkSession.createDataFrame(
+            sorted(cat.items()), "name string, cat string"
+        )
+    )
+    return (
+        names_agg.join(cat_df, "name", "left")
+        .select(
+            _name_id(F.col("name")).alias("id"),
+            "name",
+            F.coalesce("cat", F.lit("Other")).alias("category"),
+            F.when(F.col("is_instance"), F.lit("Instance"))
+            .otherwise(F.lit("Concept"))
+            .alias("kind"),
+            F.create_map(
+                F.lit("mentions"), F.col("mentions").cast("string")
+            ).alias("attributes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def materialize_edges(
+    triples: DataFrame, spark: SparkSession,
+    nodes: DataFrame | None = None,
+    broadcast_threshold: int = 2_000_000,
+    assume_closed: bool = False,
+) -> DataFrame:
+    """The edges half of `materialize` (see its docstring). With
+    `assume_closed` the endpoint-existence joins are skipped (ids hash
+    directly from names) and `nodes` may be None; otherwise `nodes` must be
+    the checkpointed output of `materialize_nodes`."""
+    _session.ensure_shipped(spark)
+    _, seed_edges = seed_graph(spark)
+    all_edges = triples.select(
+        F.col("subj").alias("src_name"),
+        F.col("obj").alias("dst_name"),
+        F.col("pred").alias("relation"),
+        "confidence",
+        "url",
+    ).unionByName(
+        seed_edges.withColumn("confidence", F.lit(1.0)).withColumn(
+            "url", F.lit("seed://ontology")
+        )
+    )
+    if assume_closed:
+        resolved = all_edges.select(
+            _name_id(F.col("src_name")).alias("src"),
+            _name_id(F.col("dst_name")).alias("dst"),
+            "relation",
+            "confidence",
+            "url",
+        )
+    else:
+        if nodes is None:
+            raise ValueError("materialize_edges needs nodes unless assume_closed")
+        # J3 endpoint-existence inner joins (silent-drop semantics),
+        # size-gated: broadcast the name dimension only while it is small
+        names = nodes.select("name", "id")
+        n_names = nodes.count()  # cheap: nodes is checkpointed
+
+        def _dim(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_names <= broadcast_threshold else df
+
+        resolved = (
+            all_edges.join(
+                _dim(
+                    names.withColumnRenamed(
+                        "name", "src_name"
+                    ).withColumnRenamed("id", "src")
+                ),
+                "src_name",
+            )
+            .join(
+                _dim(
+                    names.withColumnRenamed(
+                        "name", "dst_name"
+                    ).withColumnRenamed("id", "dst")
+                ),
+                "dst_name",
+            )
+        )
+    return (
+        resolved.groupBy("src", "dst", "relation")
+        .agg(F.max("confidence").alias("confidence"), F.min("url").alias("url"))
+        .select("src", "dst", "relation", "confidence", "url")
+    )
+
+
 def materialize(
     triples: DataFrame, spark: SparkSession,
     broadcast_threshold: int = 2_000_000,
@@ -89,112 +217,11 @@ def materialize(
     depend on the nodes table at all. The default (False) keeps the
     reference's silent-drop semantics for arbitrary inputs; a pytest
     asserts both paths are identical on pipeline data."""
-    _session.ensure_shipped(spark)
-    seed_nodes, seed_edges = seed_graph(spark)
-
-    # one pass over the triple stream: explode both endpoints with an
-    # is-instance flag, aggregate per name (single shuffle instead of two
-    # distincts + a join — this stage runs over the full triple table)
-    ends = triples.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("subj").alias("name"),
-                    (F.col("pred") == "instance_of").alias("is_inst"),
-                ),
-                F.struct(
-                    F.col("obj").alias("name"), F.lit(False).alias("is_inst")
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
-    names_agg = (
-        ends.select("name", "is_inst", F.lit(1).cast("long").alias("m"))
-        .unionByName(
-            seed_nodes.select(
-                "name",
-                F.lit(False).alias("is_inst"),
-                F.lit(0).cast("long").alias("m"),
-            )
-        )
-        .groupBy("name")
-        .agg(
-            F.max("is_inst").alias("is_instance"),
-            F.sum("m").alias("mentions"),
-        )
-    )
-    cat = vocab.concept_category()
-    cat_df = F.broadcast(
-        triples.sparkSession.createDataFrame(
-            sorted(cat.items()), "name string, cat string"
-        )
-    )
-    nodes = (
-        names_agg.join(cat_df, "name", "left")
-        .select(
-            _name_id(F.col("name")).alias("id"),
-            "name",
-            F.coalesce("cat", F.lit("Other")).alias("category"),
-            F.when(F.col("is_instance"), F.lit("Instance"))
-            .otherwise(F.lit("Concept"))
-            .alias("kind"),
-            F.create_map(
-                F.lit("mentions"), F.col("mentions").cast("string")
-            ).alias("attributes"),
-        )
-        .localCheckpoint(eager=True)
-    )
-
-    all_edges = triples.select(
-        F.col("subj").alias("src_name"),
-        F.col("obj").alias("dst_name"),
-        F.col("pred").alias("relation"),
-        "confidence",
-        "url",
-    ).unionByName(
-        seed_edges.withColumn("confidence", F.lit(1.0)).withColumn(
-            "url", F.lit("seed://ontology")
-        )
-    )
-    if assume_closed:
-        resolved = all_edges.select(
-            _name_id(F.col("src_name")).alias("src"),
-            _name_id(F.col("dst_name")).alias("dst"),
-            "relation",
-            "confidence",
-            "url",
-        )
-    else:
-        # J3 endpoint-existence inner joins (silent-drop semantics),
-        # size-gated: broadcast the name dimension only while it is small
-        names = nodes.select("name", "id")
-        n_names = nodes.count()  # cheap: nodes is checkpointed above
-
-        def _dim(df: DataFrame) -> DataFrame:
-            return F.broadcast(df) if n_names <= broadcast_threshold else df
-
-        resolved = (
-            all_edges.join(
-                _dim(
-                    names.withColumnRenamed(
-                        "name", "src_name"
-                    ).withColumnRenamed("id", "src")
-                ),
-                "src_name",
-            )
-            .join(
-                _dim(
-                    names.withColumnRenamed(
-                        "name", "dst_name"
-                    ).withColumnRenamed("id", "dst")
-                ),
-                "dst_name",
-            )
-        )
-    edges = (
-        resolved.groupBy("src", "dst", "relation")
-        .agg(F.max("confidence").alias("confidence"), F.min("url").alias("url"))
-        .select("src", "dst", "relation", "confidence", "url")
+    nodes = materialize_nodes(triples, spark)
+    edges = materialize_edges(
+        triples, spark, nodes=nodes,
+        broadcast_threshold=broadcast_threshold,
+        assume_closed=assume_closed,
     )
     return nodes, edges
 

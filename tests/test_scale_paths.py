@@ -304,3 +304,30 @@ def test_materialize_closed_world_equals_join_path(spark):
     n2, e2 = graph.materialize(linked, spark, assume_closed=True)
     assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_rewrite_preserves_row_count(spark):
+    """The bench harness counts triples from the linked-parquet footer
+    instead of re-running the canonical rewrite (bench_support/
+    run_pipeline.py): valid only because the rewrite is row-count-preserving
+    — a left join on the canonical map's UNIQUE surface key can never fan
+    out or drop. Assert both the uniqueness premise and the count equality."""
+    linked = _triples(spark)
+    surfaces = linked.select(F.col("subj").alias("surface")).union(
+        linked.select(F.col("obj").alias("surface"))
+    )
+    cmap = canon.canonical_map(surfaces).cache()
+    assert cmap.count() == cmap.select("surface").distinct().count()
+    rewritten = canon.rewrite_triples(linked, cmap)
+    assert rewritten.count() == linked.count()
+
+
+def test_materialize_split_halves_equal_combined(spark):
+    """materialize_nodes/materialize_edges (the concurrent bench path) must
+    equal the single materialize call on the same triples."""
+    linked = _triples(spark, 80)
+    n1, e1 = graph.materialize(linked, spark, assume_closed=True)
+    n2 = graph.materialize_nodes(linked, spark)
+    e2 = graph.materialize_edges(linked, spark, assume_closed=True)
+    assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))

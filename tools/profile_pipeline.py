@@ -55,7 +55,9 @@ def main() -> None:
     t_build = time.time() - t0
 
     t1 = time.time()
-    n_triples = out["triples"].count()
+    # same counting strategy as bench_support/run_pipeline.py: the rewrite
+    # is row-count-preserving, so count the linked parquet footer
+    n_triples = out["linked_triples"].count()
     t_count_triples = time.time() - t1
     t2 = time.time()
     n_edges = out["edges"].count()
