@@ -65,11 +65,24 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            shingle: int = 5,
                            jaccard_threshold: float = 0.7,
                            max_bucket: int = 64,
-                           recover_oversized: bool = True) -> DataFrame:
+                           recover_oversized: bool = True,
+                           min_band_agreement: int = 2) -> DataFrame:
     """Near-duplicate id pairs via MinHash-LSH + exact-Jaccard verify.
 
     Shingles are character n-grams of the document text (word-shingles are a
     one-line change in the kernel).
+
+    `min_band_agreement` is a signature-agreement prefilter applied BEFORE
+    full texts are joined onto candidates: a candidate pair colliding in
+    fewer than this many of the `bands` LSH bands is dropped without ever
+    shipping its document bodies. The band-collision count is free — it
+    falls out of the groupBy that dedups multi-band collisions — and it IS
+    the signature-level Jaccard estimate (bands agree with probability
+    j^(k/bands)). At the defaults (k=32, bands=16, threshold=0.7) a true
+    ≥0.7-Jaccard pair agrees in <2 bands with probability ~3.5e-4 — the
+    accepted recall cost for not shipping boilerplate-heavy texts to the
+    verify stage; set to 1 to disable. Pairs that reach verify are gated by
+    exact Jaccard exactly as before, so precision is unchanged.
 
     Oversized band buckets (boilerplate skew) are excluded from the
     quadratic pair join; with `recover_oversized` their members are
@@ -123,7 +136,12 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
+        # groupBy replaces the old distinct(): same dedup shuffle, but the
+        # collision count doubles as the signature-agreement prefilter
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_band_agreement)
+        .select("a", "b")
     )
     texts = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
     cand = cand.join(texts, "a").join(

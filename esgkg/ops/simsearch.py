@@ -115,9 +115,17 @@ def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              n_tables: int = 12, n_planes: int = 6,
              id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 1234,
-             probe_hamming: int = 1) -> DataFrame:
+             probe_hamming: int = 1,
+             signatures: DataFrame | None = None) -> DataFrame:
     """Multi-table LSH approximate top-k: score only vectors that share a
-    bucket (within `probe_hamming` bits) with the query in ANY table."""
+    bucket (within `probe_hamming` bits) with the query in ANY table.
+
+    `signatures`: a precomputed (id, table, bucket) table from
+    `hyperplane_signatures` (same n_tables/n_planes/seed — caller's
+    contract). The signature table is the ANN *index*: at corpus scale it is
+    materialized once and probed by every query; recomputing it per query
+    re-hashes the whole corpus (the round-2 scale flag). Compute-if-absent
+    keeps the single-query call self-contained."""
     q = np.asarray(qvec, dtype=np.float64)
     planes = _lsh_planes(len(q), n_tables, n_planes, seed)
     pows = 1 << np.arange(n_planes)
@@ -134,7 +142,7 @@ def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
     probes = F.broadcast(
         spark.createDataFrame(probe_rows, "table int, bucket int")
     )
-    sig = hyperplane_signatures(
+    sig = signatures if signatures is not None else hyperplane_signatures(
         embeddings, n_tables, n_planes, id_col, vec_col, seed
     )
     cand_ids = sig.join(probes, ["table", "bucket"]).select("id").distinct()
@@ -144,17 +152,23 @@ def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
     return cosine_topk(cand, qvec, k, id_col, vec_col)
 
 
-def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
-                       k: int = 5, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
-    """Batch k-NN join: for every query vector, the top-k corpus neighbors.
+def scored_topk_per_partition(embeddings: DataFrame, queries: DataFrame,
+                              k: int = 5, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """The map side of the batch k-NN join: per PARTITION, the exact top-k
+    corpus neighbors of every query — (query_id, id, score), at most Q×k
+    rows per non-empty partition (the partial-reduce contract a global
+    window then finishes).
 
-    Arrow-batched matrix multiply per partition against a broadcast query
-    matrix (the queries side must be small enough to broadcast — the classic
-    'probe table' shape); window top-k on the scored stream."""
+    Per Arrow batch: one (Q×dim)·(dim×B) matmul, then `np.partition` keeps
+    only rows whose score reaches the per-query k-th largest (boundary ties
+    included, so no true top-k member under the (score desc, id asc) order
+    can be cut) — fully vectorized, no per-row Python loop, never Q×B rows
+    shipped (the round-1/round-2 scale flag). The per-batch survivors are
+    reduced to exactly Q×k rows per partition with one pandas sort."""
     _session.ensure_shipped(embeddings.sparkSession)
     qrows = queries.select(id_col, vec_col).collect()
-    qids = [int(r[0]) for r in qrows]
+    qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     sc = embeddings.sparkSession.sparkContext
@@ -170,6 +184,7 @@ def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bq.value
+        parts = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -178,14 +193,43 @@ def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
             )
             scores = qm @ mat.T  # (Q, B)
-            out = []
-            vids = pdf[id_col].to_numpy()
-            for qi, qid in enumerate(ids):
-                for bi in range(len(pdf)):
-                    out.append((qid, int(vids[bi]), float(scores[qi, bi])))
-            yield pd.DataFrame(out, columns=["query_id", "id", "score"])
+            vids = pdf[id_col].to_numpy().astype(np.int64)
+            b = scores.shape[1]
+            if k < b:
+                # k-th largest score per query; keep every entry reaching it
+                kth = -np.partition(-scores, k - 1, axis=1)[:, k - 1]
+                qi, bi = np.nonzero(scores >= kth[:, None])
+            else:
+                qi, bi = np.nonzero(np.ones_like(scores, dtype=bool))
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[qi],
+                        "id": vids[bi],
+                        "score": scores[qi, bi],
+                    }
+                )
+            )
+        if parts:
+            allc = pd.concat(parts, ignore_index=True).sort_values(
+                ["query_id", "score", "id"], ascending=[True, False, True]
+            )
+            yield allc.groupby("query_id", sort=False).head(k)
 
-    scored = embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
+                       k: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Batch k-NN join: for every query vector, the top-k corpus neighbors.
+
+    Arrow-batched matrix multiply per partition against a broadcast query
+    matrix (the queries side must be small enough to broadcast — the classic
+    'probe table' shape). The map side pre-reduces to ≤ Q×k rows per
+    partition (`scored_topk_per_partition`); the window is the final
+    exact reduce over Q×k×partitions rows, not Q×N."""
+    scored = scored_topk_per_partition(embeddings, queries, k, id_col, vec_col)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))

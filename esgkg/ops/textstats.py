@@ -137,6 +137,9 @@ def top_third_keywords(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The reference's keyword extraction (metrics.py:273-280): top ⌊V/3⌋
     tokens by frequency, count-then-lexicographic order. Two passes over one
     cached frequency table (count V, then take top ⌊V/3⌋)."""
-    freq = token_frequency(docs, text_col).persist()
+    # eager localCheckpoint, not persist(): released by the ContextCleaner
+    # once the result is unreachable (a never-unpersisted cache accumulates
+    # executor storage across repeated calls in a long-lived session)
+    freq = token_frequency(docs, text_col).localCheckpoint(eager=True)
     total = freq.count()
     return freq.orderBy(F.desc("freq"), F.asc("token")).limit(total // 3)

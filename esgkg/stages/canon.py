@@ -32,6 +32,12 @@ from pyspark.sql import types as T
 
 from .. import session as _session
 
+# whitespace class for the normalized-exact recovery pass — spelled out
+# explicitly because Java's \s is ASCII-only while Python's is Unicode-aware
+# (U+3000 ideographic space matters for Japanese surfaces); both rungs use
+# this identical class so they stay byte-equal
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B\\u00A0\\u3000]+"
+
 # which rung the most recent canonical_map took: "driver" | "dist_pairs" |
 # "dist_cc" — observability hook for tests asserting the distributed branch
 # actually runs at bench scale
@@ -83,9 +89,22 @@ def band_rows(surfaces: DataFrame, col: str = "surface",
 def candidate_pairs(surfaces: DataFrame, col: str = "surface",
                     k: int = 32, bands: int = 16, ngram: int = 3,
                     max_bucket: int = 64,
-                    edit_prefilter: float | None = None) -> DataFrame:
+                    edit_prefilter: float | None = None,
+                    recover_exact: bool = True) -> DataFrame:
     """LSH candidate pairs (a < b). Oversized buckets are excluded (skew
-    guard); at production scale they are diverted to a salted exact pass.
+    guard); `recover_exact` diverts what the cap would lose that is still
+    O(n)-recoverable: a whitespace-normalized EXACT pass over the whole
+    surface pool (one extra groupBy on the tiny distinct-surface set, no
+    dependency on the band table, so the lazy banding chain still evaluates
+    once). Surfaces equal after whitespace stripping pair to the group's
+    min surface — O(n) rows, never O(n²) — and flow through the SAME
+    conjunctive verification as LSH candidates, so purity is unchanged; a
+    near-identical pair whose bucket was dropped still merges. Near-but-not-
+    normalized-equal members of a dropped bucket remain the accepted recall
+    loss of the cap (the trade every web-scale dedup makes). Mirrors
+    dedup.minhash_near_dup_pairs' oversized-bucket exact-hash recovery —
+    by normalized surface rather than content hash because the surface pool
+    is already distinct (an exact-duplicate pass would recover nothing).
 
     One shuffle: band rows group into buckets (collect_list), the size cap
     filters oversized buckets, and pairs are emitted MAP-SIDE from each
@@ -113,6 +132,21 @@ def candidate_pairs(surfaces: DataFrame, col: str = "surface",
         buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select("p.a", "p.b")
     )
+    if recover_exact:
+        norm_groups = (
+            surfaces.select(F.col(col).alias("surface"))
+            .distinct()
+            .groupBy(
+                F.regexp_replace(F.col("surface"), WS_CLASS, "").alias("nk")
+            )
+            .agg(F.sort_array(F.collect_list("surface")).alias("ms"))
+            .filter(F.size("ms") >= 2)
+        )
+        rec = norm_groups.select(
+            F.col("ms")[0].alias("a"),
+            F.explode(F.slice(F.col("ms"), 2, F.size(F.col("ms")))).alias("b"),
+        )
+        out = out.unionByName(rec)
     if edit_prefilter is not None:
         # JVM levenshtein BEFORE the dedup shuffle: a pair colliding in
         # several bands is exploded several times, but only survivors reach
@@ -304,6 +338,20 @@ def canonical_map_local(surfaces: list[str],
             x = parent[x]
         return x
 
+    def try_merge(x: str, y: str, seen: set[tuple[str, str]]) -> None:
+        pair = (x, y)
+        if pair in seen:
+            return
+        seen.add(pair)
+        if (
+            kernel.jaccard(x, y, ngram) >= jaccard_threshold
+            and kernel.edit_similarity(x, y) >= edit_threshold
+        ):
+            ra, rb = find(x), find(y)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
     seen_pairs: set[tuple[str, str]] = set()
     for members in buckets.values():
         if len(members) > max_bucket:
@@ -311,18 +359,22 @@ def canonical_map_local(surfaces: list[str],
         ms = sorted(set(members))
         for i in range(len(ms)):
             for j in range(i + 1, len(ms)):
-                pair = (ms[i], ms[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                if (
-                    kernel.jaccard(ms[i], ms[j], ngram) >= jaccard_threshold
-                    and kernel.edit_similarity(ms[i], ms[j]) >= edit_threshold
-                ):
-                    ra, rb = find(ms[i]), find(ms[j])
-                    if ra != rb:
-                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                        parent[hi] = lo
+                try_merge(ms[i], ms[j], seen_pairs)
+    # whitespace-normalized exact recovery — byte-identical semantics to the
+    # distributed path's `recover_exact` branch (candidate_pairs): members of
+    # a dropped oversized bucket that are equal after whitespace stripping
+    # still pair to the group's min surface and pass the same verification
+    import re as _re
+    from collections import defaultdict as _dd
+
+    norm_groups: dict[str, list[str]] = _dd(list)
+    for s in surfaces:
+        if s:
+            norm_groups[_re.sub(WS_CLASS, "", s)].append(s)
+    for members in norm_groups.values():
+        ms = sorted(set(members))
+        for m in ms[1:]:
+            try_merge(ms[0], m, seen_pairs)
     return {s: find(s) if s in parent else s for s in surfaces}
 
 

@@ -45,9 +45,12 @@ def adamic_adar(edges: DataFrame, top_k: int = 10,
     vertex z with AQE skew-split handling the residual imbalance the
     `max_degree` hub cap has already bounded."""
     # und feeds the degree table, the neighbor lists AND the existing-edge
-    # anti-join — persist so the distinct shuffle runs once (consumers are
-    # sequential actions, so the lazy cache populates without a race)
-    und = undirected(edges).persist()
+    # anti-join — checkpoint so the distinct shuffle runs once. Eager
+    # localCheckpoint rather than persist(): checkpointed RDDs are released
+    # by the ContextCleaner as soon as the result DataFrame is unreachable,
+    # so repeated calls in a long-lived session don't accumulate executor
+    # storage the way never-unpersisted caches do
+    und = undirected(edges).localCheckpoint(eager=True)
     deg = und.groupBy(F.col("a").alias("z")).agg(F.count("*").alias("deg"))
     # neighbor lists keyed by the shared vertex z
     nbrs = und.select(F.col("b").alias("z"), F.col("a").alias("n"))

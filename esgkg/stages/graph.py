@@ -525,11 +525,25 @@ def export_viz(nodes: DataFrame, edges: DataFrame, path: str,
         .select("id", "name", "category")
         .collect()
     )
-    keep = {r.id for r in top}
-    edge_rows = [
-        r for r in edges.select("src", "dst", "relation").collect()
-        if r.src in keep and r.dst in keep
-    ]
+    # filter DataFrame-side BEFORE collecting: broadcast-semi-join the edge
+    # table against the ≤max_nodes kept ids on both endpoints (same pattern
+    # as rag.py's membership semi-join) — only the surviving subgraph edges
+    # ever reach the driver, never the full corpus edge table
+    keep_ids = nodes.sparkSession.createDataFrame(
+        [(r.id,) for r in top], "id long"
+    )
+    edge_rows = (
+        edges.select("src", "dst", "relation")
+        .join(
+            F.broadcast(keep_ids.withColumnRenamed("id", "src")),
+            "src", "left_semi",
+        )
+        .join(
+            F.broadcast(keep_ids.withColumnRenamed("id", "dst")),
+            "dst", "left_semi",
+        )
+        .collect()
+    )
     lines = ["digraph esg {", "  rankdir=LR;",
              '  node [style=filled, fontname="sans-serif"];']
     for r in sorted(top, key=lambda r: r.name):

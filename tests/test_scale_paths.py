@@ -331,3 +331,91 @@ def test_materialize_split_halves_equal_combined(spark):
     e2 = graph.materialize_edges(linked, spark, assume_closed=True)
     assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
+
+
+def test_knn_join_partition_bounded_emission(spark):
+    """scored_topk_per_partition (the map side of pairwise_topk_join) must
+    emit at most Q×k rows per non-empty partition — never the round-2 Q×N
+    stream — and the joined result must equal per-query brute force."""
+    from esgkg.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_part = 4
+    pool = emb.repartition(n_part).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 7)
+    q_n, k = queries.count(), 3
+    scored = simsearch.scored_topk_per_partition(pool, queries, k=k)
+    assert scored.count() <= q_n * k * n_part
+    out = simsearch.pairwise_topk_join(pool, queries, k=k)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.id))
+    for q in queries.select("vec_id", "embedding").collect():
+        brute = [
+            r.id
+            for r in simsearch.cosine_topk(pool, list(q.embedding), k=k).collect()
+        ]
+        assert [i for _, i in sorted(got[q.vec_id])] == brute
+
+
+def test_ann_topk_reuses_precomputed_signatures(spark):
+    """ann_topk with a precomputed signature table must return identical
+    rows AND never re-run the corpus-hashing UDF (the signature table is the
+    index; round 2 recomputed it per query)."""
+    from esgkg.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pool = emb.filter(F.col("vec_id") != 0)
+    sig = simsearch.hyperplane_signatures(pool).localCheckpoint(eager=True)
+    a = [(r.id, round(r.score, 9)) for r in simsearch.ann_topk(pool, qvec, k=10).collect()]
+    df_b = simsearch.ann_topk(pool, qvec, k=10, signatures=sig)
+    b = [(r.id, round(r.score, 9)) for r in df_b.collect()]
+    assert a == b
+    plan = df_b._jdf.queryExecution().optimizedPlan().toString()
+    assert "pandas" not in plan.lower()  # no python UDF left in the probe
+
+
+def test_canon_oversized_bucket_whitespace_recovery(spark):
+    """Whitespace variants of one long surface land in oversized (dropped)
+    LSH buckets at a tiny max_bucket, yet must still merge via the
+    normalized-exact recovery pass — identically on the driver rung and the
+    distributed rung."""
+    base = "グリーンサプライチェーン環境経営推進機構"
+    variants = [base[:i] + " " + base[i:] for i in range(1, 21)]
+    df = spark.createDataFrame(
+        [(s,) for s in [base] + variants], "surface string"
+    )
+    cm_local = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(df, max_bucket=4).collect()
+    }
+    assert canon.LAST_STRATEGY == "driver"
+    cm_dist = {
+        r.surface: r.canonical
+        for r in canon.canonical_map(df, max_bucket=4, driver_threshold=0).collect()
+    }
+    assert cm_local == cm_dist
+    assert len(set(cm_local.values())) == 1  # everything merged
+
+
+def test_minhash_band_agreement_prefilter(spark):
+    """The signature-agreement prefilter (default ≥2 agreeing bands) must
+    not change the verified pair set on a near-dup fixture — it only stops
+    sub-threshold candidates from shipping their texts to verify."""
+    rows = [
+        (0, "adaptive query execution re-plans the physical stage graph " * 8),
+        (1, "adaptive query execution re-plans the physical stage graphs " * 8),
+        (2, "совершенно другой документ о другом содержании " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(shingle=5, jaccard_threshold=0.7)
+    strict = {(r.a, r.b) for r in dedup.minhash_near_dup_pairs(docs, **kw).collect()}
+    loose = {
+        (r.a, r.b)
+        for r in dedup.minhash_near_dup_pairs(
+            docs, min_band_agreement=1, **kw
+        ).collect()
+    }
+    assert strict == loose
+    assert (0, 1) in strict and not any(2 in p for p in strict)
