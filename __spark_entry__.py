@@ -574,6 +574,34 @@ def _q30_domain_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.coverage_metrics(tokens, list(_DOMAIN_SET))
 
 
+def _q31_evaluation_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.9 evaluation runner (/root/reference/scripts/05_evaluation.py:
+    # 119-148 analog): synthesize test cases from the built KG, run
+    # relation-inference accuracy + RAG coverage, emit the aggregate row.
+    # Not SQL-expressible (hash-embedding subgraph search + BFS) — covered
+    # by the hand-computed pytest fixture instead of a DuckDB oracle.
+    from esgkg import pipeline
+    from esgkg.stages import evaluate
+
+    out = pipeline.build_kg(spark, n_pages=300)
+    nodes, edges = out["nodes"], out["edges"]
+    cases = evaluate.synth_test_cases(nodes, edges, n_cases=3)
+    res = evaluate.run_evaluation(nodes, edges, cases)
+    return spark.createDataFrame(
+        [
+            (
+                float(res["relation_inference"]["accuracy"]),
+                round(float(res["rag_queries"]["avg_node_coverage"]), 6),
+                round(float(res["rag_queries"]["avg_relation_coverage"]), 6),
+                len(cases["relation_inference_cases"]),
+                len(cases["rag_cases"]),
+            )
+        ],
+        "accuracy double, avg_node_coverage double, "
+        "avg_relation_coverage double, n_rel_cases int, n_rag_cases int",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -606,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_minhash_signatures": _q28_minhash_signatures,
         "q29_answer_quality": _q29_answer_quality,
         "q30_domain_coverage": _q30_domain_coverage,
+        "q31_evaluation_harness": _q31_evaluation_harness,
     }
 
 
