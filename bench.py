@@ -114,15 +114,20 @@ def main() -> None:
     # at hi and systematically biases the min-time speedup upward — the
     # estimator must be symmetric to be defensible
     repeats_hi = int(os.environ.get("ESGKG_BENCH_REPEATS_HI", str(repeats)))
-    hw_before = raw_cpu_speedup(CORES_LO, CORES_HI)
+    # two calibration samples on each side of the measurement window; the
+    # MEDIAN of the four is the hw envelope (a single noisy sample skewed
+    # the round-3 bracket from ~3.5 to 4.6 — medians resist that)
+    hw_samples = [raw_cpu_speedup(CORES_LO, CORES_HI) for _ in range(2)]
     lo_runs, hi_runs = [], []
     for i in range(max(repeats, repeats_hi)):
         if i < repeats:
             lo_runs.append(run_pipeline_subprocess(CORES_LO, PAGES))
         if i < repeats_hi:
             hi_runs.append(run_pipeline_subprocess(CORES_HI, PAGES))
-    hw_after = raw_cpu_speedup(CORES_LO, CORES_HI)
-    hw_speedup = (hw_before + hw_after) / 2
+    hw_samples += [raw_cpu_speedup(CORES_LO, CORES_HI) for _ in range(2)]
+    hw_sorted = sorted(hw_samples)
+    hw_speedup = (hw_sorted[1] + hw_sorted[2]) / 2  # median of 4
+    hw_before, hw_after = hw_samples[0], hw_samples[-1]
     lo = max(lo_runs, key=lambda r: r["triples_per_sec"])
     hi = max(hi_runs, key=lambda r: r["triples_per_sec"])
     speedup = hi["triples_per_sec"] / lo["triples_per_sec"]
@@ -170,6 +175,7 @@ def main() -> None:
                     "raw_cpu_speedup": round(hw_speedup, 3),
                     "raw_cpu_speedup_before": round(hw_before, 3),
                     "raw_cpu_speedup_after": round(hw_after, 3),
+                    "raw_cpu_samples": [round(x, 3) for x in hw_samples],
                     "efficiency_vs_hw": round(speedup / hw_speedup, 3),
                     "estimator": (
                         f"best-of-{repeats} lo / best-of-{repeats_hi} hi,"

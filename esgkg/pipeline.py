@@ -176,13 +176,19 @@ def build_kg(
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = _time.time()
+
+        def make_edges() -> DataFrame:
+            # parquet round-trip, not localCheckpoint: 1.6M+ checkpointed
+            # rows live deserialized on the JVM heap (measured ~2x the cost
+            # of a columnar write at bench scale); /dev/shm keeps it RAM-speed
+            e = graph.materialize_edges(triples, spark, assume_closed=True)
+            path = f"{scratch}/edges"
+            e.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_nodes = pool.submit(graph.materialize_nodes, triples, spark)
-            f_edges = pool.submit(
-                lambda: graph.materialize_edges(
-                    triples, spark, assume_closed=True
-                ).localCheckpoint(eager=True)
-            )
+            f_edges = pool.submit(make_edges)
             nodes, edges = f_nodes.result(), f_edges.result()
         if timing:
             LAST_TIMINGS.append(("nodes_edges", round(_time.time() - t0, 3)))

@@ -255,3 +255,124 @@ def hits_mrr_map(predicted: DataFrame, gold: DataFrame, k: int = 10) -> DataFram
         F.avg("mrr").alias("mrr"),
         F.avg("ap").alias("map"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U4 — relation inference (deterministic stand-in for the reference's LLM)
+# ---------------------------------------------------------------------------
+
+def infer_relations(source: str, context: str | None = None,
+                    top_k: int = 5) -> list[dict]:
+    """U4 slot — the reference's ``infer_relations_with_llm`` contract
+    (/root/reference/tests/test_knowledge_completion.py:9-21: a non-empty
+    list of {"target", "relation", "description"} dicts; call sites
+    /root/reference/scripts/03_knowledge_completion.py:87-112 and README).
+    The reference never shipped the implementation — the class module
+    (src/models/knowledge_completion.py) is absent from the repo, so only
+    the interface is recoverable. This recovers it behind a DETERMINISTIC
+    template engine instead of a generative model (documented divergence,
+    same policy as the U2 GNN replacement):
+
+    * hierarchy neighbors first — the seed ontology's direct edges from/to
+      the source, carrying their true relation type;
+    * then same-category concepts ranked by hash-embedding cosine to the
+      source (the U6 encoder), with relation 'related_to';
+    * descriptions from a fixed Japanese template (the `context` argument is
+      echoed into the description exactly as the reference prompt embeds it).
+
+    Driver-side and Spark-free like the reference's per-concept LLM loop;
+    `infer_relations_table` below is the distributed bulk variant.
+    """
+    import numpy as np
+
+    from .. import kernel, vocab
+
+    out: list[dict] = []
+    seen: set[str] = set()
+
+    def add(target: str, relation: str, why: str) -> None:
+        if target in seen or target == source or len(out) >= top_k:
+            return
+        seen.add(target)
+        desc = f"{source}は{target}と{relation}の関係にある（{why}）"
+        if context:
+            desc += f"。文脈: {context}"
+        out.append({"target": target, "relation": relation,
+                    "description": desc})
+
+    for child, parent, rel in vocab.HIERARCHY:
+        if child == source and parent != "ROOT":
+            add(parent, rel, "オントロジー階層の親概念")
+    for child, parent, rel in vocab.HIERARCHY:
+        if parent == source:
+            add(child, rel, "オントロジー階層の子概念")
+    if len(out) < top_k:
+        cat = vocab.concept_category()
+        src_cat = cat.get(source)
+        pool = sorted(
+            c
+            for c, _, _ in vocab.HIERARCHY
+            if c != source and (src_cat is None or cat.get(c) == src_cat)
+        )
+        if pool:
+            v = kernel.hash_embed(source)
+            mat = np.stack([kernel.hash_embed(c) for c in pool])
+            sims = mat @ v
+            order = sorted(
+                range(len(pool)), key=lambda i: (-float(sims[i]), pool[i])
+            )
+            for i in order:
+                add(pool[i], "related_to",
+                    f"埋め込み類似度{float(sims[i]):.3f}の同カテゴリ概念")
+                if len(out) >= top_k:
+                    break
+    return out
+
+
+def infer_relations_table(spark, sources: DataFrame,
+                          source_col: str = "name",
+                          top_k: int = 5) -> DataFrame:
+    """Bulk U4: one row per inferred relation for every source concept —
+    (source, target, relation, description, rank). The per-concept engine is
+    a cheap pure function, so the bulk path is a shuffle-free mapInPandas
+    over the source column (the reference loops its LLM on the driver;
+    at corpus scale the sources table is distributed and so is this)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .. import session as _session
+
+    _session.ensure_shipped(spark)
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType(), False),
+            T.StructField("target", T.StringType(), False),
+            T.StructField("relation", T.StringType(), False),
+            T.StructField("description", T.StringType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        from esgkg.stages import complete as _c
+
+        for pdf in batches:
+            rows = []
+            for s in pdf[source_col]:
+                if not isinstance(s, str) or not s:
+                    continue
+                for rank, rel in enumerate(
+                    _c.infer_relations(s, top_k=top_k), start=1
+                ):
+                    rows.append(
+                        (s, rel["target"], rel["relation"],
+                         rel["description"], rank)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "target", "relation", "description",
+                         "rank"],
+            )
+
+    return sources.select(source_col).mapInPandas(run, schema=schema)

@@ -106,8 +106,9 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     oracle-checkable ground truth.
 
     State per user is O(1) (4 longs); event order is assumed in-order per
-    user within the stream (late data would need an event-time watermark
-    variant — documented limitation of the processing-time design)."""
+    user within the stream — out-of-order data needs the watermark variant
+    `sessionize_stream_event_time` below, which trades O(session) state for
+    late-data correctness."""
     import pandas as pd
 
     cols = ["user_id", "session_idx", "n_events", "duration_sec"]
@@ -116,13 +117,29 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         (user_id,) = key
         if state.hasTimedOut:
             last, start, n, idx = state.get
-            state.remove()
+            if last < 0:
+                # second consecutive quiet period: now really drop the state
+                state.remove()
+                return
+            # emit the closed session but KEEP the running session_idx for a
+            # grace period (10x gap), so a returning user's sessions continue
+            # numbering instead of restarting at 1 (which would repeat
+            # (user_id, session_idx) keys). A user silent longer than the
+            # grace period still renumbers — the documented residual
+            # divergence of bounded state. -1 is the no-open-session
+            # sentinel (tsec is non-negative by schema contract); None
+            # would NOT round-trip through the Arrow state serializer.
+            state.update((-1, -1, 0, idx))
+            state.setTimeoutDuration(gap_sec * 1000 * 10)
             yield pd.DataFrame(
                 [(user_id, idx, n, last - start)], columns=cols
             )
             return
         if state.exists:
             last, start, n, idx = state.get
+            if last < 0:
+                last = start = None
+                n = 0
         else:
             last = start = None
             n = 0
@@ -153,4 +170,86 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
         SESSION_STATE_SCHEMA,
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+EVENT_SESSION_STATE_SCHEMA = "tsecs array<long>, session_idx long"
+
+
+def sessionize_stream_event_time(events: DataFrame, gap_sec: int = 1800,
+                                 watermark_sec: int = 3600) -> DataFrame:
+    """EVENT-time sessionization with late-data handling — the watermarked
+    variant of `sessionize_stream` (whose processing-time design silently
+    missessionizes out-of-order events).
+
+    Events carry `tsec` (event-time seconds); the stream is watermarked on
+    `timestamp_seconds(tsec)` with `watermark_sec` allowed lateness. Open
+    sessions BUFFER their event times in state (bounded by session length,
+    not stream length — the price of reordering tolerance), and a session is
+    emitted only once the watermark passes its last event + gap: at that
+    point no admissible late event can extend or bridge it, so the emitted
+    row is identical to the batch oracle's (q27 semantics: tsec-sorted,
+    gap-split). Eviction uses `EventTimeTimeout`, so state never outlives
+    the watermark.
+
+    Late events WITHIN the watermark land in the correct session (the pytest
+    feeds one and checks the batch-oracle match where the processing-time
+    variant provably diverges); events older than the watermark are dropped
+    by Spark before reaching the operator — standard watermark semantics."""
+    import pandas as pd
+
+    cols = ["user_id", "session_idx", "n_events", "duration_sec"]
+    events = events.withColumn(
+        "ts", F.timestamp_seconds(F.col("tsec"))
+    ).withWatermark("ts", f"{watermark_sec} seconds")
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        wm_sec = state.getCurrentWatermarkMs() / 1000.0
+        if state.exists:
+            buf0, idx = state.get
+            buf = list(buf0 or [])
+        else:
+            buf, idx = [], 0
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf.extend(int(t) for t in pdf["tsec"])
+        buf.sort()
+        rows = []
+        while buf:
+            end_i = 1
+            while end_i < len(buf) and buf[end_i] - buf[end_i - 1] <= gap_sec:
+                end_i += 1
+            last = buf[end_i - 1]
+            # closed only when no admissible event can still extend it: any
+            # future event has ts >= watermark > last + gap
+            if wm_sec > last + gap_sec:
+                idx += 1
+                rows.append((user_id, idx, end_i, last - buf[0]))
+                buf = buf[end_i:]
+            else:
+                break
+        if buf:
+            state.update((buf, idx))
+            # fire once the watermark can close the trailing session
+            state.setTimeoutTimestamp((buf[-1] + gap_sec) * 1000 + 1000)
+        elif state.hasTimedOut:
+            state.remove()
+        elif state.exists or rows:
+            # emitted everything this batch: keep the running idx one grace
+            # period (same renumbering trade as the processing-time variant)
+            state.update(([], idx))
+            state.setTimeoutTimestamp(
+                int(max(wm_sec, 0) * 1000) + gap_sec * 1000 * 10
+            )
+        yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        EVENT_SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )

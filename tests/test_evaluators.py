@@ -305,3 +305,86 @@ def test_synth_test_cases_shape_and_truth(spark):
     rag_case = cases["rag_cases"][0]
     assert "A概念" in rag_case["context_concepts"]
     assert rag_case["reference_answer"]
+
+
+# times offset from 0 — an event exactly AT the initial watermark (t=0)
+# is dropped by the stateful-op late filter. The gap (1000 s) is far larger
+# than the test's wall time so the PROCESSING-time variant's timeouts can't
+# fire between the restarted runs and its output stays deterministic.
+_B = 100000
+_LATE_BATCHES = [
+    [(1, _B + 0, 0), (1, _B + 500, 1), (9, _B + 4000, 2)],
+    # u1's +300 arrives LATE (within watermark)
+    [(1, _B + 300, 3), (9, _B + 8000, 4)],
+    [(1, _B + 50000, 5), (9, _B + 12000, 6)],
+]
+
+
+def _run_batched(spark, tmp_path, make_query, tag):
+    """Feed _LATE_BATCHES as THREE deterministic micro-batches: one
+    availableNow run per batch against a shared checkpoint (the state store
+    and watermark persist across restarts), so arrival order is exact —
+    plain maxFilesPerTrigger ordering proved nondeterministic."""
+    src = str(tmp_path / f"src_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    out = str(tmp_path / f"out_{tag}")
+    for rows in _LATE_BATCHES:
+        spark.createDataFrame(
+            rows, "user_id long, tsec long, event_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        events = (
+            spark.readStream.schema(
+                "user_id long, tsec long, event_id long"
+            ).parquet(src)
+        )
+        q = (
+            make_query(events)
+            .writeStream.format("parquet")  # file sink: recovery-capable
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    return {
+        (r.user_id, r.session_idx, r.n_events, r.duration_sec)
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_sessionize_event_time_handles_late_data(spark, tmp_path):
+    """The event-time variant must place the late event (t=30, within the
+    watermark) into its true session — matching the batch oracle's
+    (n_events=3, duration=50) — while the processing-time variant, fed the
+    same batches, provably missessionizes (duration 20: the late 30 opens a
+    fresh logical position after 50 in arrival order)."""
+    from esgkg import streaming
+
+    got = _run_batched(
+        spark, tmp_path,
+        lambda ev: streaming.sessionize_stream_event_time(
+            ev, gap_sec=1000, watermark_sec=4000
+        ),
+        "et",
+    )
+    got_u1 = {row for row in got if row[0] == 1}
+    # batch oracle over u1's closed events [+0, +300, +500]: one session,
+    # 3 events, duration 500; [+50000] stays open (watermark never passes)
+    assert got_u1 == {(1, 1, 3, 500)}
+
+    got_pt = {
+        row
+        for row in _run_batched(
+            spark, tmp_path,
+            lambda ev: streaming.sessionize_stream(ev, gap_sec=1000),
+            "pt",
+        )
+        if row[0] == 1
+    }
+    # arrival-order processing: events seen as [+0, +500, +300]; `last`
+    # ends at +300, so the session closed by +50000 reports duration 300 —
+    # the documented missessionization the watermark variant fixes
+    assert (1, 1, 3, 300) in got_pt
+    assert (1, 1, 3, 500) not in got_pt

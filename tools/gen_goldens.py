@@ -1,0 +1,342 @@
+"""Regenerate tests/golden/*.parquet — committed expected outputs for the
+six queries the DuckDB oracle cannot express (q15-q20, `no_oracle` in the
+driver's correctness report). Each golden is computed by a SINGLE-NODE
+oracle (plain python / numpy / pandas — no Spark): the sequential
+reference-pipeline semantics of esgkg/oracle.py extended with the linking,
+canonicalization, graph and similarity steps those queries cover. The
+pytest in tests/test_golden_queries.py hash-compares every query's Spark
+DataFrame against its golden, making the six queries externally checkable.
+
+Usage: python tools/gen_goldens.py   (writes tests/golden/*.parquet)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GOLDEN_DIR = REPO / "tests" / "golden"
+SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (pure python) — Spark's `xxhash64(col, 42)` hashes the UTF-8 bytes
+# of a string with the standard XXH64 algorithm and returns the result as a
+# SIGNED long. Implemented from the public xxHash specification so the
+# graph-id golden is independent of the JVM. A pytest cross-checks this
+# implementation against F.xxhash64 on sample strings.
+# ---------------------------------------------------------------------------
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M
+    return (_rotl(acc, 31) * _P1) & _M
+
+
+def _merge(h: int, v: int) -> int:
+    h ^= _round(0, v)
+    return (h * _P1 + _P4) & _M
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while i + 32 <= n:
+            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        h ^= _round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    """XXH64 of a 4-byte little-endian int (Spark XXH64.hashInt)."""
+    h = (seed + _P5 + 4) & _M
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M
+    h = (_rotl(h, 23) * _P2 + _P3) & _M
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def name_id(name: str) -> int:
+    """Spark `_name_id` = `xxhash64(name, lit(42))`. NOTE Spark semantics:
+    the literal 42 is not the seed — `xxhash64` hashes ALL its argument
+    columns left-to-right with the fixed default seed 42, each column's
+    hash seeding the next. So the id is the int-42 hash seeded by the
+    string hash (verified against F.xxhash64 in
+    test_python_xxh64_matches_spark)."""
+    h = _xxh64_int(42, xxh64(name.encode("utf-8"), 42))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# q15 — media features: the synthetic media table and the deterministic
+# fake decoder are themselves the spec (esgkg/ops/multimodal.py docstring);
+# recomputed here from that spec without Spark.
+# ---------------------------------------------------------------------------
+def gold_q15(n: int = 200, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        payload = hashlib.blake2b(
+            f"{seed}:{i}".encode(), digest_size=32
+        ).digest() * (4 + i % 7)
+        kind = ("image", "audio", "video")[i % 3]
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        w = 64 + h[0] % 192
+        ht = 64 + h[1] % 192
+        luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
+        rows.append((i, kind, w, ht, round(luma, 6), len(payload)))
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "width", "height", "mean_luma", "n_bytes"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16/q17/q18 — the sequential reference pipeline over 300 synthetic pages:
+# raw triples (oracle.gold_triples) → dictionary/dense linking →
+# driver-rung canonicalization → graph → Adamic-Adar top-k.
+# ---------------------------------------------------------------------------
+def _linked_triples(n_pages: int = 300) -> list[tuple[str, str, str, str]]:
+    from esgkg import kernel, oracle, vocab
+
+    surfaces = vocab.all_concept_surfaces()
+    concepts = sorted(set(surfaces.values()))
+    mat = np.stack([kernel.hash_embed(c) for c in concepts])
+    cache: dict[str, str] = {}
+
+    def link(s: str) -> str:
+        hit = surfaces.get(s)
+        if hit is not None:
+            return hit
+        hit = cache.get(s)
+        if hit is None:
+            v = kernel.hash_embed(s)
+            sims = mat @ v
+            i = int(np.argmax(sims))
+            hit = concepts[i] if sims[i] >= 0.75 else s
+            cache[s] = hit
+        return hit
+
+    return sorted(
+        (link(s), p, link(o), u) for s, p, o, u in oracle.gold_triples(n_pages)
+    )
+
+
+def gold_q16(n_pages: int = 300) -> pd.DataFrame:
+    from esgkg import oracle
+
+    counts: dict[str, int] = {}
+    for _, p, _, _ in oracle.gold_triples(n_pages):
+        counts[p] = counts.get(p, 0) + 1
+    return pd.DataFrame(
+        sorted(counts.items()), columns=["pred", "n_triples"]
+    )
+
+
+def _canonical_triples(n_pages: int = 300) -> list[tuple[str, str, str, str]]:
+    from esgkg import vocab
+    from esgkg.stages import canon
+
+    linked = _linked_triples(n_pages)
+    surf = sorted({t[0] for t in linked} | {t[2] for t in linked})
+    protected = set(
+        sorted(set(vocab.all_concept_surfaces().values())) + ["Organization"]
+    )
+    pool = [s for s in surf if s and s not in protected]
+    cm = canon.canonical_map_local(pool)
+    return sorted(
+        (cm.get(s, s), p, cm.get(o, o), u) for s, p, o, u in linked
+    )
+
+
+def gold_q17(n_pages: int = 300) -> pd.DataFrame:
+    return pd.DataFrame(
+        _canonical_triples(n_pages), columns=["subj", "pred", "obj", "url"]
+    )
+
+
+def gold_q18(n_pages: int = 300, top_k: int = 10,
+             max_degree: int = 1000) -> pd.DataFrame:
+    from esgkg import vocab
+
+    triples = _canonical_triples(n_pages)
+    # edges = dedup'd (src, dst, relation) ids over triples + ontology seed
+    # (graph.materialize assume_closed semantics)
+    edge_keys = {
+        (name_id(s), name_id(o), p) for s, p, o, _ in triples
+    } | {(name_id(c), name_id(p), r) for c, p, r in vocab.HIERARCHY}
+    und: set[tuple[int, int]] = set()
+    for a, b, _ in edge_keys:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    deg = {z: len(ns) for z, ns in nbrs.items()}
+    scores: dict[tuple[int, int], list[float]] = {}
+    for z, ns in nbrs.items():
+        d = deg[z]
+        if d < 2 or d > max_degree:
+            continue
+        members = sorted(ns)
+        w = 1.0 / math.log(d)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                key = (members[i], members[j])
+                cur = scores.get(key)
+                if cur is None:
+                    scores[key] = [1, w]
+                else:
+                    cur[0] += 1
+                    cur[1] += w
+    rows = []
+    per_src: dict[int, list] = {}
+    for (a, b), (common, aa) in scores.items():
+        if (a, b) in und:
+            continue  # only NEW links
+        per_src.setdefault(a, []).append((-aa, -common, b))
+    for src, cands in per_src.items():
+        cands.sort()
+        for rank, (naa, ncommon, dst) in enumerate(cands[:top_k], start=1):
+            rows.append((src, dst, int(-ncommon), round(-naa, 6), rank))
+    out = pd.DataFrame(
+        rows, columns=["src", "dst", "common_neighbors", "aa_score", "rank"]
+    ).sort_values(["src", "rank"]).reset_index(drop=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q19/q20 — similarity search over the sf0.01 embeddings table, numpy only.
+# ---------------------------------------------------------------------------
+def _embeddings() -> tuple[np.ndarray, np.ndarray]:
+    df = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def gold_q19(k: int = 10, n_tables: int = 12, n_planes: int = 6,
+             seed: int = 1234, probe_hamming: int = 1) -> pd.DataFrame:
+    ids, mat = _embeddings()
+    q = mat[ids == 0][0]
+    pool_mask = ids != 0
+    pids, pmat = ids[pool_mask], mat[pool_mask]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, mat.shape[1], n_planes))
+    pows = 1 << np.arange(n_planes)
+    cand = np.zeros(len(pids), dtype=bool)
+    for t in range(n_tables):
+        buckets = ((pmat @ planes[t]) > 0).dot(pows).astype(int)
+        qb = int(((q @ planes[t]) > 0).dot(pows))
+        probes = {qb} | (
+            {qb ^ (1 << i) for i in range(n_planes)}
+            if probe_hamming >= 1
+            else set()
+        )
+        cand |= np.isin(buckets, sorted(probes))
+    cids, cmat = pids[cand], pmat[cand]
+    qn = math.sqrt(float(q @ q))
+    scores = (cmat @ q) / (np.sqrt((cmat * cmat).sum(axis=1)) * qn)
+    order = sorted(range(len(cids)), key=lambda i: (-scores[i], cids[i]))[:k]
+    return pd.DataFrame(
+        [(int(cids[i]), round(float(scores[i]), 6)) for i in order],
+        columns=["id", "score"],
+    )
+
+
+def gold_q20(k: int = 5) -> pd.DataFrame:
+    ids, mat = _embeddings()
+    qmask = ids < 5
+    qids, qmat = ids[qmask], mat[qmask]
+    cids, cmat = ids[~qmask], mat[~qmask]
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cn = cmat / np.clip(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12, None)
+    scores = qn @ cn.T
+    rows = []
+    for qi in range(len(qids)):
+        order = sorted(
+            range(len(cids)), key=lambda i: (-scores[qi, i], cids[i])
+        )[:k]
+        for rank, i in enumerate(order, start=1):
+            rows.append(
+                (int(qids[qi]), int(cids[i]), round(float(scores[qi, i]), 6), rank)
+            )
+    return pd.DataFrame(rows, columns=["query_id", "id", "score", "rank"])
+
+
+GOLDENS = {
+    "q15_media_features": gold_q15,
+    "q16_triples_by_pred": gold_q16,
+    "q17_canonical_triples": gold_q17,
+    "q18_predicted_links": gold_q18,
+    "q19_ann_topk": gold_q19,
+    "q20_knn_join": gold_q20,
+}
+
+
+def main() -> None:
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        df = fn()
+        path = GOLDEN_DIR / f"{name}.parquet"
+        df.to_parquet(path, index=False)
+        print(f"wrote {path} ({len(df)} rows)")
+
+
+if __name__ == "__main__":
+    main()
