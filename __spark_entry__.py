@@ -602,6 +602,40 @@ def _q31_evaluation_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q32_embedding_similarity_pairs(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup, EXACT variant (oracle-checkable): bounded
+    # self-join + JVM zip_with/aggregate cosine in double precision. The
+    # LSH-blocked scale path is dedup.embedding_near_dup_pairs (pytest
+    # compares its recall against this exact set).
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    a = emb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _n(c):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (_n("va") * _n("vb")))
+        .filter(F.col("cosine") >= 0.3)
+        .select("a", "b", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -635,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_answer_quality": _q29_answer_quality,
         "q30_domain_coverage": _q30_domain_coverage,
         "q31_evaluation_harness": _q31_evaluation_harness,
+        "q32_embedding_similarity_pairs": _q32_embedding_similarity_pairs,
     }
 
 
@@ -978,6 +1013,22 @@ def oracle_sql() -> dict[str, str]:
                    round(2.0 * n_covered / (8 + n_ontology), 6) AS concept_f1
             FROM agg
         """,
+        "q32_embedding_similarity_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                   ), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND list_cosine_similarity(
+                      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+                  ) >= 0.3
+        """,
         # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
-        # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks.
+        # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks;
+        # externally checked instead by the committed golden fixtures
+        # (tests/golden/, tools/gen_goldens.py). q31: ditto (hash-embedding
+        # subgraph search + BFS), hand-computed pytest fixtures.
     }

@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families over a document table:
+Five families over a document table:
 
 * exact      — hash groupBy; keeper = min(doc_id) per identical text.
 * minhash    — MinHash+LSH near-dup: shingle → minhash → band → bucket join
@@ -8,6 +8,8 @@ Four families over a document table:
 * simhash    — 64-bit SimHash over tokens; near-dups = small hamming distance
                within same band prefix.
 * ngram/char jaccard — exact verified similarity on bounded candidate sets.
+* embedding-cosine — semantic near-dup over an embedding column:
+               hyperplane-LSH blocking + exact JVM cosine verification.
 
 Scale notes: every family is blocking-based (no all-pairs cross join). The
 LSH band groupBy is the only shuffle; bucket-size caps bound the pair
@@ -329,4 +331,72 @@ def char_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             (inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             n_tables: int = 12, n_planes: int = 8,
+                             seed: int = 1234,
+                             max_bucket: int = 1024) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine) — the
+    semantic-dedup family: random-hyperplane LSH blocking (the same
+    signature machinery as `simsearch.ann_topk`) bounds the candidate set,
+    then the exact cosine is verified JVM-side (zip_with/aggregate dot —
+    no Python in the verify). A pair colliding in ANY of the `n_tables`
+    bands becomes a candidate; `max_bucket` caps bucket fan-out exactly like
+    the MinHash path (embedding-space boilerplate — near-zero or templated
+    vectors — is the skew risk). Recall for a true pair at cosine s is
+    1-(1-p^b)^L with p = 1 - arccos(s)/π: at the defaults and s=0.95, ~0.98."""
+    from . import simsearch
+
+    sig = (
+        simsearch.hyperplane_signatures(
+            embeddings.select(id_col, vec_col), n_tables, n_planes,
+            id_col, vec_col, seed,
+        )
+        .localCheckpoint(eager=True)  # feeds sizes AND both join sides
+    )
+    sizes = sig.groupBy("table", "bucket").agg(F.count("*").alias("n"))
+    ok = sig.join(
+        sizes.filter(F.col("n") <= max_bucket).select("table", "bucket"),
+        ["table", "bucket"],
+    )
+    l, r = ok.alias("l"), ok.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    cand = cand.join(vecs, "a").join(
+        embeddings.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        ),
+        "b",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _n(c):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    return (
+        cand.withColumn("cosine", dot / (_n("va") * _n("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )

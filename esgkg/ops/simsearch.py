@@ -237,3 +237,73 @@ def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 4321) -> DataFrame:
+    """IVF coarse assignment: (id, list_id) — each vector joins the list of
+    its nearest coarse centroid. Centroids are deterministic seeded Gaussian
+    directions (no k-means iterations: at ingest scale a fixed random
+    codebook is the standard cheap baseline; swapping in trained centroids
+    is a drop-in — the assignment math is identical). The assignment table
+    is the IVF *index*: materialized once, probed by every query."""
+    _session.ensure_shipped(embeddings.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if cents is None:
+                dim = len(pdf[vec_col].iloc[0])
+                rng = np.random.RandomState(seed)
+                cents = rng.standard_normal((n_lists, dim))
+                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.clip(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+            )
+            lists = np.argmax(mat @ cents.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "list_id": lists}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
+             n_lists: int = 64, nprobe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 4321,
+             assignments: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k: score only vectors whose coarse list is among
+    the query's `nprobe` nearest lists — the scan shrinks ~n_lists/nprobe.
+    `assignments` accepts the materialized `ivf_assign` table
+    (compute-if-absent), mirroring `ann_topk`'s signature reuse."""
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_lists, len(q)))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    probe_lists = [
+        int(i) for i in np.argsort(-(cents @ q), kind="stable")[:nprobe]
+    ]
+    spark = embeddings.sparkSession
+    probes = F.broadcast(
+        spark.createDataFrame([(i,) for i in probe_lists], "list_id int")
+    )
+    assign = assignments if assignments is not None else ivf_assign(
+        embeddings, n_lists, id_col, vec_col, seed
+    )
+    cand_ids = assign.join(probes, "list_id").select("id")
+    cand = embeddings.join(
+        cand_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )
+    return cosine_topk(cand, qvec, k, id_col, vec_col)

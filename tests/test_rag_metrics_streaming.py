@@ -203,3 +203,63 @@ def test_multimodal_plumbing(spark):
     # real decode is stubbed
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", fake=False)
+
+
+def test_ivf_topk_all_probes_equals_brute_and_reuses_index(spark):
+    """IVF with nprobe == n_lists probes every list → must equal exact
+    brute force; with a precomputed assignment table the probe plan must
+    not re-run the assignment UDF (index reuse, like ann_topk)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pool = emb.filter(F.col("vec_id") != 0)
+    brute = [(r.id, round(r.score, 9))
+             for r in simsearch.cosine_topk(pool, qvec, k=10).collect()]
+    full = [(r.id, round(r.score, 9))
+            for r in simsearch.ivf_topk(pool, qvec, k=10, n_lists=16,
+                                        nprobe=16).collect()]
+    assert full == brute
+    assign = simsearch.ivf_assign(pool, n_lists=16).localCheckpoint(eager=True)
+    df = simsearch.ivf_topk(pool, qvec, k=10, n_lists=16, nprobe=16,
+                            assignments=assign)
+    reused = [(r.id, round(r.score, 9)) for r in df.collect()]
+    assert reused == brute
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pandas" not in plan.lower()
+    # narrow probe actually shrinks the scanned candidate set
+    n_cand = (
+        assign.join(
+            spark.createDataFrame([(i,) for i in range(4)], "list_id int"),
+            "list_id",
+        ).count()
+    )
+    assert n_cand < pool.count()
+
+
+def test_embedding_near_dup_detects_semantic_duplicates(spark):
+    """LSH-blocked embedding-cosine dedup must find the planted near-dup
+    pairs (cosine ≈ 1) and nothing below threshold — equal to exact brute
+    force on the fixture."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # ids 100+i are near-copies of i (tiny perturbation)
+        rows.append((100 + i, [float(x) for x in v + 0.01 * rng.standard_normal(32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.a, r.b) for r in dedup.embedding_near_dup_pairs(
+        df, threshold=0.95).collect()}
+    # exact brute force over the 12-vector fixture
+    import itertools
+
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    exact = set()
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        if cos >= 0.95:
+            exact.add((a, b))
+    assert got == exact
+    assert {(i, 100 + i) for i in range(6)} <= got
