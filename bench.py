@@ -41,11 +41,11 @@ CORES_LO, CORES_HI = (
     int(os.environ.get("ESGKG_BENCH_CORES_LO", "2")),
     int(os.environ.get("ESGKG_BENCH_CORES_HI", "8")),
 )
-# 6M pages at sf0.1 (round 2: 1M, round 3 first pass: 2M): the map phase
+# 3M pages at sf0.1 (round 2: 1M, round 3 first pass: 2M): the map phase
 # scales at the hardware limit while the graph tail carries fixed per-job
 # latency — a larger corpus amortizes the tail exactly as a 100-TB run
 # would (where the map phase is >99.9% of the work). The round-3 kernel
-# speedup (~4x faster relation extraction) made 6M cost what 2M did.
+# speedup (~4x faster relation extraction) made 3M cost what 1M did.
 PAGES = int(
     os.environ.get(
         "ESGKG_BENCH_PAGES",
@@ -120,7 +120,11 @@ def main() -> None:
     # level across REPEATS interleaved lo/hi runs (min-time estimator), with
     # a raw-CPU calibration bracketing the window; every raw run is reported
     # in the JSON so the estimate is auditable.
-    repeats = int(os.environ.get("ESGKG_BENCH_REPEATS", "2"))
+    # 3 repeats per level (round-4): the min-time estimator needs more draws
+    # on a host whose identical runs vary 2-3x — the round-3 driver run drew
+    # an unluckily-fast lo pair and read 0.75 where the builder's identical
+    # protocol read 0.87
+    repeats = int(os.environ.get("ESGKG_BENCH_REPEATS", "3"))
     # EQUAL repeats per level: under identical additive noise an asymmetric
     # best-of (round 2 ran best-of-2 lo vs best-of-3 hi) draws more samples
     # at hi and systematically biases the min-time speedup upward — the

@@ -81,10 +81,22 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     falls out of the groupBy that dedups multi-band collisions — and it IS
     the signature-level Jaccard estimate (bands agree with probability
     j^(k/bands)). At the defaults (k=32, bands=16, threshold=0.7) a true
-    ≥0.7-Jaccard pair agrees in <2 bands with probability ~3.5e-4 — the
-    accepted recall cost for not shipping boilerplate-heavy texts to the
-    verify stage; set to 1 to disable. Pairs that reach verify are gated by
-    exact Jaccard exactly as before, so precision is unchanged.
+    ≥0.7-Jaccard pair agrees in <2 bands with probability ~3.5e-4
+    (assuming all 16 bands are counted — see below) — the accepted recall
+    cost for not shipping boilerplate-heavy texts to the verify stage; set
+    to 1 to disable. Pairs that reach verify are gated by exact Jaccard
+    exactly as before, so precision is unchanged.
+
+    Interaction with `max_bucket`: collisions are counted only among bands
+    whose bucket survived the size cap, so a pair whose agreeing bands
+    mostly landed in oversized (dropped) buckets would otherwise lose
+    evidence it actually has. The prefilter therefore lowers each pair's
+    required agreement by the number of agreements the cap COULD have
+    hidden — min(dropped_bands(a), dropped_bands(b)), since a hidden
+    agreement needs both members in the same capped bucket — never below 1.
+    The threshold is also clamped to `bands` so callers passing bands <
+    min_band_agreement still get the one-band behavior instead of zero
+    pairs unconditionally.
 
     Oversized band buckets (boilerplate skew) are excluded from the
     quadratic pair join; with `recover_oversized` their members are
@@ -125,10 +137,21 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         .localCheckpoint(eager=True)
     )
     sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    oversized = sizes.filter(F.col("n") > max_bucket).select(
+        "band_id", "band_hash"
+    )
     ok = b.join(
         sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
         ["band_id", "band_hash"],
     )
+    # per-id count of bands lost to the bucket cap — feeds the prefilter's
+    # per-pair threshold adjustment (docstring: max_bucket interaction)
+    n_dropped = (
+        b.join(oversized, ["band_id", "band_hash"])
+        .groupBy("id")
+        .agg(F.count("*").alias("nd"))
+    )
+    eff_agreement = max(1, min(min_band_agreement, bands))
     l, r = ok.alias("l"), ok.alias("r")
     cand = (
         l.join(
@@ -142,7 +165,27 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         # collision count doubles as the signature-agreement prefilter
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_bands"))
-        .filter(F.col("n_bands") >= min_band_agreement)
+        .join(
+            n_dropped.select(F.col("id").alias("a"), F.col("nd").alias("nd_a")),
+            "a",
+            "left",
+        )
+        .join(
+            n_dropped.select(F.col("id").alias("b"), F.col("nd").alias("nd_b")),
+            "b",
+            "left",
+        )
+        .filter(
+            F.col("n_bands")
+            >= F.greatest(
+                F.lit(1),
+                F.lit(eff_agreement)
+                - F.least(
+                    F.coalesce(F.col("nd_a"), F.lit(0)),
+                    F.coalesce(F.col("nd_b"), F.lit(0)),
+                ),
+            )
+        )
         .select("a", "b")
     )
     texts = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
@@ -348,7 +391,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     bands becomes a candidate; `max_bucket` caps bucket fan-out exactly like
     the MinHash path (embedding-space boilerplate — near-zero or templated
     vectors — is the skew risk). Recall for a true pair at cosine s is
-    1-(1-p^b)^L with p = 1 - arccos(s)/π: at the defaults and s=0.95, ~0.98."""
+    1-(1-p^b)^L with p = 1 - arccos(s)/π: at the defaults and s=0.95,
+    p ≈ 0.899, p^8 ≈ 0.426, recall ≈ 1-(1-0.426)^12 ≈ 0.9987."""
     from . import simsearch
 
     sig = (

@@ -64,19 +64,136 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
-    """STUB: real decode needs an image library not present in this
-    container. The fake decoder is deterministic in the payload bytes."""
-    if not fake:
+def _decode_bmp(b: bytes) -> tuple[int, int, float]:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER) — pure stdlib + numpy."""
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
         raise NotImplementedError(
-            "image decoding requires PIL/opencv (not installed); "
-            "pass fake=True for the deterministic stand-in"
+            "native BMP decode covers 24-bit uncompressed only"
         )
-    h = hashlib.blake2b(payload or b"", digest_size=8).digest()
-    w = 64 + h[0] % 192
-    ht = 64 + h[1] % 192
-    luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
-    return w, ht, luma
+    height = abs(h)  # sign is row order (bottom-up vs top-down) — mean-safe
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < data_off + stride * height:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : w * 3].reshape(height, w, 3)
+    # BMP stores BGR
+    luma = (
+        0.114 * rows[..., 0].astype(np.float64)
+        + 0.587 * rows[..., 1]
+        + 0.299 * rows[..., 2]
+    )
+    return w, height, float(luma.mean() / 255.0)
+
+
+def _decode_png(b: bytes) -> tuple[int, int, float]:
+    """8-bit greyscale/RGB/RGBA non-interlaced PNG — stdlib zlib inflate +
+    the five standard scanline filters undone sequentially."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = color_type = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    "native PNG decode covers 8-bit gray/RGB/RGBA, "
+                    "non-interlaced only"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = width * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                pp = a + prev[i] - c
+                pa, pb, pc = abs(pp - a), abs(pp - prev[i]), abs(pp - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    prev[i] if pb <= pc else c
+                )
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter {f}")
+        out += line
+        prev = line
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, ch)
+    if ch == 1:
+        luma = arr[..., 0].astype(np.float64)
+    else:
+        luma = (
+            0.299 * arr[..., 0].astype(np.float64)
+            + 0.587 * arr[..., 1]
+            + 0.114 * arr[..., 2]
+        )
+    return width, height, float(luma.mean() / 255.0)
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
+    """(width, height, mean_luma). Real decode natively covers 24-bit
+    uncompressed BMP and 8-bit gray/RGB/RGBA non-interlaced PNG (pure
+    stdlib+numpy — no imaging library in this container); other formats
+    raise NotImplementedError. `fake=True` keeps the deterministic
+    synthetic decoder for opaque test payloads (q15's golden path)."""
+    if fake:
+        h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        w = 64 + h[0] % 192
+        ht = 64 + h[1] % 192
+        luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
+        return w, ht, luma
+    if payload and payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    raise NotImplementedError(
+        "native decode covers BMP (24-bit uncompressed) and PNG (8-bit, "
+        "non-interlaced) only; other formats need PIL/opencv (not "
+        "installed) — pass fake=True for the deterministic stand-in"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

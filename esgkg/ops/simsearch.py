@@ -154,7 +154,8 @@ def ann_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
 
 def scored_topk_per_partition(embeddings: DataFrame, queries: DataFrame,
                               k: int = 5, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_queries: int = 100_000) -> DataFrame:
     """The map side of the batch k-NN join: per PARTITION, the exact top-k
     corpus neighbors of every query — (query_id, id, score), at most Q×k
     rows per non-empty partition (the partial-reduce contract a global
@@ -165,9 +166,23 @@ def scored_topk_per_partition(embeddings: DataFrame, queries: DataFrame,
     included, so no true top-k member under the (score desc, id asc) order
     can be cut) — fully vectorized, no per-row Python loop, never Q×B rows
     shipped (the round-1/round-2 scale flag). The per-batch survivors are
-    reduced to exactly Q×k rows per partition with one pandas sort."""
+    reduced to exactly Q×k rows per partition with one pandas sort.
+
+    The queries side is collected and broadcast (the 'probe table'
+    contract), so it must be driver-small: `max_queries` fails loud instead
+    of OOMing the driver on a misused corpus-sized probe side (mirrors
+    rewrite_triples' broadcast gate — the limit(n+1) collect never ships
+    more than n+1 rows even when the caller passes a huge DataFrame). For a
+    genuinely large probe side, block-partition the queries and union
+    per-block joins, or use the LSH/IVF index paths."""
     _session.ensure_shipped(embeddings.sparkSession)
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pairwise_topk_join probe side exceeds max_queries="
+            f"{max_queries}; it is collected+broadcast and must be small "
+            "(raise max_queries deliberately, or use ann/ivf indexes)"
+        )
     qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -221,7 +236,8 @@ def scored_topk_per_partition(embeddings: DataFrame, queries: DataFrame,
 
 def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
                        k: int = 5, id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       max_queries: int = 100_000) -> DataFrame:
     """Batch k-NN join: for every query vector, the top-k corpus neighbors.
 
     Arrow-batched matrix multiply per partition against a broadcast query
@@ -229,7 +245,9 @@ def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
     'probe table' shape). The map side pre-reduces to ≤ Q×k rows per
     partition (`scored_topk_per_partition`); the window is the final
     exact reduce over Q×k×partitions rows, not Q×N."""
-    scored = scored_topk_per_partition(embeddings, queries, k, id_col, vec_col)
+    scored = scored_topk_per_partition(
+        embeddings, queries, k, id_col, vec_col, max_queries
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
@@ -239,15 +257,91 @@ def pairwise_topk_join(embeddings: DataFrame, queries: DataFrame,
     )
 
 
+def _seeded_centroids(dim: int, n_lists: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    cents = rng.standard_normal((n_lists, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ivf_train_centroids(embeddings: DataFrame, n_lists: int = 64,
+                        train_iters: int = 1,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 4321) -> np.ndarray:
+    """Spherical-k-means-trained IVF centroids: `train_iters` distributed
+    Lloyd iterations seeded from the deterministic codebook. Each iteration
+    is one pass — executors assign their partition's (normalized) vectors to
+    the nearest current centroid and emit PER-PARTITION partial sums
+    (n_lists rows of (list_id, n, sumvec) per partition, vectorized
+    np.add.at — never the corpus), which the driver reduces into the new
+    normalized means (empty lists keep their previous centroid). The
+    returned (n_lists × dim) array is driver-small by construction and
+    plugs into ivf_assign/ivf_topk via their `centroids` parameter."""
+    _session.ensure_shipped(embeddings.sparkSession)
+    first = embeddings.select(vec_col).first()
+    cents = _seeded_centroids(len(first[0]), n_lists, seed)
+    sc = embeddings.sparkSession.sparkContext
+    schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sums", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    for _ in range(max(0, train_iters)):
+        bc = sc.broadcast(cents)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            counts = np.zeros(len(c), dtype=np.int64)
+            sums = np.zeros_like(c)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat = mat / np.clip(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+                )
+                lists = np.argmax(mat @ c.T, axis=1)
+                np.add.at(sums, lists, mat)
+                np.add.at(counts, lists, 1)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "list_id": nz.astype(np.int32),
+                    "n": counts[nz],
+                    "sums": [sums[i].tolist() for i in nz],
+                }
+            )
+
+        partials = (
+            embeddings.select(vec_col).mapInPandas(run, schema=schema).collect()
+        )
+        new = cents.copy()
+        tot_n = np.zeros(len(cents), dtype=np.int64)
+        tot_s = np.zeros_like(cents)
+        for r in partials:
+            tot_n[r.list_id] += r.n
+            tot_s[r.list_id] += np.asarray(r.sums)
+        nz = tot_n > 0
+        means = tot_s[nz] / tot_n[nz, None]
+        new[nz] = means / np.clip(
+            np.linalg.norm(means, axis=1, keepdims=True), 1e-12, None
+        )
+        cents = new
+        bc.destroy()
+    return cents
+
+
 def ivf_assign(embeddings: DataFrame, n_lists: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: int = 4321) -> DataFrame:
+               seed: int = 4321,
+               centroids: np.ndarray | None = None) -> DataFrame:
     """IVF coarse assignment: (id, list_id) — each vector joins the list of
-    its nearest coarse centroid. Centroids are deterministic seeded Gaussian
-    directions (no k-means iterations: at ingest scale a fixed random
-    codebook is the standard cheap baseline; swapping in trained centroids
-    is a drop-in — the assignment math is identical). The assignment table
-    is the IVF *index*: materialized once, probed by every query."""
+    its nearest coarse centroid. Default centroids are deterministic seeded
+    Gaussian directions (the cheap ingest baseline); pass the output of
+    `ivf_train_centroids` as `centroids` for trained lists — the assignment
+    math is identical. The assignment table is the IVF *index*: materialized
+    once, probed by every query."""
     _session.ensure_shipped(embeddings.sparkSession)
     schema = T.StructType(
         [
@@ -255,17 +349,23 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 64,
             T.StructField("list_id", T.IntegerType(), False),
         ]
     )
+    bc = (
+        embeddings.sparkSession.sparkContext.broadcast(
+            np.asarray(centroids, dtype=np.float64)
+        )
+        if centroids is not None
+        else None
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = None
+        cents = bc.value if bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if cents is None:
-                dim = len(pdf[vec_col].iloc[0])
-                rng = np.random.RandomState(seed)
-                cents = rng.standard_normal((n_lists, dim))
-                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+                cents = _seeded_centroids(
+                    len(pdf[vec_col].iloc[0]), n_lists, seed
+                )
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat = mat / np.clip(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
@@ -282,16 +382,21 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
              n_lists: int = 64, nprobe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 4321,
-             assignments: DataFrame | None = None) -> DataFrame:
+             assignments: DataFrame | None = None,
+             centroids: np.ndarray | None = None) -> DataFrame:
     """IVF approximate top-k: score only vectors whose coarse list is among
     the query's `nprobe` nearest lists — the scan shrinks ~n_lists/nprobe.
     `assignments` accepts the materialized `ivf_assign` table
-    (compute-if-absent), mirroring `ann_topk`'s signature reuse."""
+    (compute-if-absent), mirroring `ann_topk`'s signature reuse;
+    `centroids` accepts the trained codebook from `ivf_train_centroids`
+    (caller contract: the same centroids that built `assignments`)."""
     q = np.asarray(qvec, dtype=np.float64)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
-    rng = np.random.RandomState(seed)
-    cents = rng.standard_normal((n_lists, len(q)))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _seeded_centroids(len(q), n_lists, seed)
+    )
     probe_lists = [
         int(i) for i in np.argsort(-(cents @ q), kind="stable")[:nprobe]
     ]
@@ -300,7 +405,7 @@ def ivf_topk(embeddings: DataFrame, qvec: list[float], k: int = 10,
         spark.createDataFrame([(i,) for i in probe_lists], "list_id int")
     )
     assign = assignments if assignments is not None else ivf_assign(
-        embeddings, n_lists, id_col, vec_col, seed
+        embeddings, n_lists, id_col, vec_col, seed, centroids=centroids
     )
     cand_ids = assign.join(probes, "list_id").select("id")
     cand = embeddings.join(

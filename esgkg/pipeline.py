@@ -66,18 +66,19 @@ def build_kg(
     if base_dir is not None:
         runner = manifest.Runner(spark, ParquetCatalog(base_dir))
 
-    # Only fan-out boundaries get an eager checkpoint in bench mode:
-    # `linked_triples` (feeds LSH, rewrite, and surface extraction) and
-    # `triples` (feeds nodes, edges, AA). text/raw form a linear chain into
+    # Only fan-out boundaries are materialized eagerly in bench mode:
+    # `linked_triples` (feeds LSH, rewrite, and surface extraction — via the
+    # _BIG parquet round-trip below) and `canon_map` (feeds the lazy rewrite
+    # consumed by nodes, edges, and AA). text/raw form a linear chain into
     # linked and fuse into its single map job; cheap derived stages stay
-    # lazily persisted. Eager checkpoints at fan-outs prevent concurrent
+    # lazily persisted. Eager points at fan-outs prevent concurrent
     # consumers racing to compute the same UDF chain (observed 2-4x
-    # recompute); minimizing eager points keeps the job count (pure driver
-    # latency at high core counts) down.
-    # nodes/edges are eager as well: the endpoint joins broadcast the name
-    # dimension twice, and two concurrent broadcast exchanges over a lazily
-    # persisted `nodes` plan each recompute it (cold-cache race)
-    _EAGER = {"linked_triples", "triples", "canon_map", "nodes", "edges"}
+    # recompute); minimizing them keeps the job count (pure driver latency
+    # at high core counts) down. `triples` stays fully lazy in bench mode
+    # (a broadcast join per consumer — see the rewrite comment below), and
+    # nodes/edges are built by the concurrent thread-pool path, so none of
+    # the three routes through stage() here.
+    _EAGER = {"surface_stats", "canon_map"}
     # Row-count-heavy stages round-trip through parquet scratch instead of
     # localCheckpoint: checkpointed DataFrames hold deserialized row objects
     # on the JVM heap (gigabytes at millions of triples -> GC thrash that
@@ -127,19 +128,36 @@ def build_kg(
         raw = stage("raw_triples", lambda: nlp.extract_triples(text))
         linked = stage("linked_triples", lambda: nlp.link_triples(raw))
 
-    def make_canon() -> DataFrame:
-        from . import vocab
+    from . import vocab
 
-        # one scan of the triple stream (explode), not a union of two scans
-        surfaces = linked.select(
-            F.explode(F.array("subj", "obj")).alias("surface")
+    protected = sorted(set(vocab.all_concept_surfaces().values())) + [
+        "Organization"
+    ]
+    if runner is None:
+        # bench mode: ONE corpus-sized explode+groupBy (surface_stats)
+        # feeds both canonicalization (whose distinct-surface pool is
+        # exactly this key set — its internal distinct becomes a no-op
+        # over the vocabulary) and the node build below. Before round 4
+        # the canon stage and the node build each re-scanned the corpus.
+        stats = stage("surface_stats", lambda: graph.surface_stats(linked))
+        cmap = stage(
+            "canon_map",
+            lambda: canon.canonical_map(
+                stats.select(F.col("name").alias("surface")),
+                exclude_exact=protected,
+            ),
         )
-        protected = sorted(set(vocab.all_concept_surfaces().values())) + [
-            "Organization"
-        ]
-        return canon.canonical_map(surfaces, exclude_exact=protected)
+    else:
+        stats = None
 
-    cmap = stage("canon_map", make_canon)
+        def make_canon() -> DataFrame:
+            # one scan of the triple stream (explode), not a union of two
+            surfaces = linked.select(
+                F.explode(F.array("subj", "obj")).alias("surface")
+            )
+            return canon.canonical_map(surfaces, exclude_exact=protected)
+
+        cmap = stage("canon_map", make_canon)
     # no dropDuplicates here: the extractor dedups (s, p, o) per page
     # (kernel.extract_triples), so rows are unique by construction and a
     # full-width shuffle of the triple stream would be pure cost. Rewriting
@@ -165,29 +183,34 @@ def build_kg(
         )
 
     if runner is None:
-        # bench mode: nodes and edges are INDEPENDENT plans under
-        # assume_closed (edge ids hash directly from names; pytest asserts
-        # equality with the generic endpoint-join path), so build them
-        # concurrently — two driver threads submit both jobs and the
-        # scheduler backfills each job's scheduling gaps (shuffle-write
-        # stalls, partial-agg tails) with the other's tasks. This was the
-        # largest ≤2x-scaling stage in the N→4N profile.
+        # bench mode (round 4): the corpus-sized work for nodes already
+        # happened in surface_stats, so the node build is a vocabulary-sized
+        # join chain (milliseconds); edges push the canonical rewrite below
+        # a raw-key partial aggregation (materialize_edges_preagg — the
+        # corpus collapses to its ~distinct raw triple keys BEFORE any join
+        # or id hash). Both are pytest-asserted equal to the generic
+        # materialize(rewrite(...)) path. The two plans are independent —
+        # two driver threads let the scheduler backfill each job's
+        # scheduling gaps with the other's tasks.
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = _time.time()
 
+        def make_nodes() -> DataFrame:
+            return graph.materialize_nodes_from_stats(stats, cmap, spark)
+
         def make_edges() -> DataFrame:
             # parquet round-trip, not localCheckpoint: 1.6M+ checkpointed
             # rows live deserialized on the JVM heap (measured ~2x the cost
             # of a columnar write at bench scale); /dev/shm keeps it RAM-speed
-            e = graph.materialize_edges(triples, spark, assume_closed=True)
+            e = graph.materialize_edges_preagg(linked, cmap, spark)
             path = f"{scratch}/edges"
             e.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            f_nodes = pool.submit(graph.materialize_nodes, triples, spark)
+            f_nodes = pool.submit(make_nodes)
             f_edges = pool.submit(make_edges)
             nodes, edges = f_nodes.result(), f_edges.result()
         if timing:

@@ -31,37 +31,60 @@ def synth_test_cases(nodes: DataFrame, edges: DataFrame,
     relations are TRUE outgoing edges (so a correct subgraph search finds
     them) and a RAG case whose context concepts/relations are the node and
     its 1-hop neighborhood (reference test_cases.json shape:
-    scripts/05_evaluation.py:16-19, 33-56, 85-106)."""
+    scripts/05_evaluation.py:16-19, 33-56, 85-106).
+
+    Scale path: nothing corpus-sized reaches the driver. The top-degree
+    source set (≤ n_cases*4 rows) is computed distributedly, `edges` is
+    semi-joined against it (broadcast — the set is tiny), endpoint names
+    resolve via joins against `nodes`, and a per-source window keeps only
+    the 3 edges each case can use — so the collect ships ≤ n_cases*4*3
+    rows however large the KG is (round-3 verdict item 2; previously this
+    collected the full node AND edge tables)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    name_of = {r.id: r.name for r in nodes.select("id", "name").collect()}
-    deg = (
+    top = (
         edges.groupBy("src")
         .agg(F.count("*").alias("d"))
         .orderBy(F.desc("d"), F.asc("src"))
         .limit(n_cases * 4)
+    )
+    named = (
+        edges.join(F.broadcast(top), "src")
+        .join(
+            nodes.select(
+                F.col("id").alias("src"), F.col("name").alias("src_name")
+            ),
+            "src",
+        )
+        .join(
+            nodes.select(
+                F.col("id").alias("dst"), F.col("name").alias("dst_name")
+            ),
+            "dst",
+        )
+    )
+    # per source, the sorted-first-3 out-edges (src_name is constant within
+    # a group, so ordering by (relation, dst_name) matches the reference's
+    # sorted-tuples[:3])
+    w = Window.partitionBy("src").orderBy("relation", "dst_name")
+    picked = (
+        named.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "d", "src_name", "relation", "dst_name")
         .collect()
     )
-    e_rows = edges.select("src", "dst", "relation").collect()
-    out_edges: dict[int, list] = {}
-    for r in e_rows:
-        out_edges.setdefault(r.src, []).append(r)
+    by_src: dict[int, list] = {}
+    order: dict[int, tuple] = {}
+    for r in picked:
+        by_src.setdefault(r.src, []).append((r.src_name, r.relation, r.dst_name))
+        order[r.src] = (-r.d, r.src)
     rel_cases, rag_cases = [], []
-    for r in deg:
+    for src in sorted(by_src, key=order.__getitem__):
         if len(rel_cases) >= n_cases:
             break
-        src_name = name_of.get(r.src)
-        if src_name is None:
-            continue
-        outs = sorted(
-            (
-                (name_of[e.src], e.relation, name_of[e.dst])
-                for e in out_edges.get(r.src, ())
-                if e.dst in name_of
-            )
-        )
-        if not outs:
-            continue
+        outs = sorted(by_src[src])
+        src_name = outs[0][0]
         rel_cases.append(
             {
                 "query": src_name,

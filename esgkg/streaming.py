@@ -57,11 +57,18 @@ def start_ingest(spark: SparkSession, base_dir: str,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # exactly-once: a retried batch overwrites its own batch-id
         # partition instead of appending a duplicate (plain append would be
-        # at-least-once across stop/restart — observed duplicate urls)
-        text = corpus.extract_text(batch_df)
-        text.write.mode("overwrite").parquet(
-            f"{catalog.path('stream_text')}/batch_id={batch_id}"
+        # at-least-once across stop/restart — observed duplicate urls).
+        # Single-pass extraction (round-3 verdict item 8): the text write is
+        # the staging for the triples job — triples re-read the just-written
+        # parquet (columnar, tiny per micro-batch) instead of re-running the
+        # HTML→text kernel chain, so each python kernel executes exactly
+        # once per batch; the two remaining jobs are one per sink.
+        spark_b = batch_df.sparkSession
+        text_path = f"{catalog.path('stream_text')}/batch_id={batch_id}"
+        corpus.extract_text(batch_df).write.mode("overwrite").parquet(
+            text_path
         )
+        text = spark_b.read.parquet(text_path)
         triples = nlp.link_triples(nlp.extract_triples(text))
         triples.write.mode("overwrite").parquet(
             f"{catalog.path('stream_triples')}/batch_id={batch_id}"

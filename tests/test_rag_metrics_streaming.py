@@ -263,3 +263,97 @@ def test_embedding_near_dup_detects_semantic_duplicates(spark):
             exact.add((a, b))
     assert got == exact
     assert {(i, 100 + i) for i in range(6)} <= got
+
+
+def test_ivf_trained_centroids_recall_and_exactness(spark):
+    """One-pass-per-iteration Lloyd training (ivf_train_centroids) must (a)
+    keep the all-probes-equals-brute exactness invariant and (b) reach at
+    least the untrained codebook's recall at the same narrow nprobe
+    (round-3 verdict item 6)."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    cents = simsearch.ivf_train_centroids(emb, n_lists=16, train_iters=2)
+    assert cents.shape[0] == 16
+    qs = emb.filter(F.col("vec_id") < 8).collect()
+
+    def mean_recall(centroids):
+        assign = simsearch.ivf_assign(
+            emb, n_lists=16, centroids=centroids
+        ).localCheckpoint(eager=True)
+        tot = 0.0
+        for q in qs:
+            qv = [float(x) for x in q.embedding]
+            brute = {r.id for r in simsearch.cosine_topk(emb, qv, k=10).collect()}
+            got = {
+                r.id
+                for r in simsearch.ivf_topk(
+                    emb, qv, k=10, n_lists=16, nprobe=4,
+                    assignments=assign, centroids=centroids,
+                ).collect()
+            }
+            tot += len(got & brute) / 10.0
+        return tot / len(qs)
+
+    r_trained = mean_recall(cents)
+    r_untrained = mean_recall(None)
+    assert r_trained >= r_untrained
+    # exactness with every list probed, trained codebook
+    qvec = [float(x) for x in qs[0].embedding]
+    brute = [(r.id, round(r.score, 9))
+             for r in simsearch.cosine_topk(emb, qvec, k=10).collect()]
+    full = [(r.id, round(r.score, 9))
+            for r in simsearch.ivf_topk(emb, qvec, k=10, n_lists=16,
+                                        nprobe=16, centroids=cents).collect()]
+    assert full == brute
+
+
+def test_decode_image_real_bmp_and_png(spark):
+    """The native decoders (round-3 verdict item 5): a hand-built 24-bit BMP
+    and an 8-bit PNG decode to known (width, height, mean_luma); the Spark
+    feature-extraction path runs them via fake=False."""
+    import struct
+    import zlib
+
+    # 2x2 24-bit BMP: bottom row red,green; top row blue,white (BGR on disk,
+    # 6 data bytes + 2 pad per row) -> mean luma 255*(.299+.587+.114+1)/4
+    rows = [
+        b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00",   # red, green
+        b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00",   # blue, white
+    ]
+    pixel_data = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                       len(pixel_data), 0, 0, 0, 0)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+           + info + pixel_data)
+    w, h, luma = multimodal.decode_image(bmp, fake=False)
+    assert (w, h) == (2, 2)
+    assert abs(luma - 0.5) < 1e-9
+
+    # 2x1 8-bit greyscale PNG, pixels 100 and 200, filter 0
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + bytes([100, 200]))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    w, h, luma = multimodal.decode_image(png, fake=False)
+    assert (w, h) == (2, 1)
+    assert abs(luma - 150.0 / 255.0) < 1e-9
+
+    # the Spark plumbing runs the real decoder end-to-end
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), {"codec": "bmp"}),
+         (2, "image", bytearray(png), {"codec": "png"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in
+           multimodal.extract_features(media, fake=False).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert abs(got[1].mean_luma - 0.5) < 1e-9
+    assert (got[2].width, got[2].height) == (2, 1)
+    # unknown formats still fail loud
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a....", fake=False)

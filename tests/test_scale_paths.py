@@ -419,3 +419,103 @@ def test_minhash_band_agreement_prefilter(spark):
     }
     assert strict == loose
     assert (0, 1) in strict and not any(2 in p for p in strict)
+
+
+def test_minhash_prefilter_clamps_to_band_count(spark):
+    """bands < min_band_agreement must clamp to one-band behavior, not drop
+    every pair unconditionally (round-3 advice)."""
+    # identical texts: with bands=1 a collision needs the FULL signature to
+    # agree, so only an identical pair reliably lands in one bucket — which
+    # is exactly the case the unclamped filter (n_bands >= 2 > bands) lost
+    text = "adaptive query execution re-plans the physical stage graph " * 8
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, bands=1, k=32, shingle=5, jaccard_threshold=0.7,
+        min_band_agreement=2,
+    ).collect()
+    assert {(r.a, r.b) for r in pairs} == {(0, 1)}
+
+
+def test_minhash_prefilter_capped_bucket_interaction(spark):
+    """A true near-dup pair whose agreeing bands mostly land in oversized
+    (capped) buckets must still reach verify: the prefilter lowers the
+    required agreement by the bands the cap could have hidden (round-3
+    advice — previously such pairs were silently dropped at the default
+    min_band_agreement=2)."""
+    base = "the same boilerplate page body repeated for web dedup tests " * 10
+    boiler = [(i, base) for i in range(40)]
+    # chosen so the pair's minhash signatures are IDENTICAL to each other
+    # but differ from the boilerplate's in exactly ONE of 16 bands (verified
+    # when the fixture was built): 15 of their 16 agreeing bands land in the
+    # oversized boilerplate buckets, so only 1 agreement survives the cap —
+    # below the old unconditional >=2 filter — and the texts differ, so the
+    # exact-recovery pass cannot rescue them either
+    near = [(900, base + " aa"), (901, base + " ab")]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, shingle=5, jaccard_threshold=0.7, max_bucket=8,
+    ).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (900, 901) in got
+    # the boilerplate group still pairs via the exact recovery pass
+    assert {(0, i) for i in range(1, 40)} <= got
+
+
+def test_knn_join_probe_side_size_guard(spark):
+    """A corpus-sized probe side must fail loud (ValueError), not collect
+    itself onto the driver (round-3 verdict item 4)."""
+    import pytest
+
+    from esgkg.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="max_queries"):
+        simsearch.scored_topk_per_partition(emb, emb, k=2, max_queries=5)
+    with pytest.raises(ValueError, match="max_queries"):
+        simsearch.pairwise_topk_join(emb, emb, k=2, max_queries=5)
+    # at-the-limit probe sides still work
+    small = emb.limit(3)
+    assert simsearch.pairwise_topk_join(emb, small, k=2, max_queries=3).count() == 6
+
+
+def test_preagg_nodes_edges_equal_generic(spark):
+    """The round-4 bench path (surface_stats → nodes-from-stats, raw-key
+    pre-aggregated edges) must produce byte-identical nodes and edges to the
+    generic materialize(rewrite_triples(...)) path, on both the broadcast
+    and the shuffle join rungs."""
+    from esgkg import vocab
+
+    linked = _triples(spark, 100)
+    protected = sorted(set(vocab.all_concept_surfaces().values())) + [
+        "Organization"
+    ]
+    stats = graph.surface_stats(linked).localCheckpoint(eager=True)
+    cmap = canon.canonical_map(
+        stats.select(F.col("name").alias("surface")), exclude_exact=protected
+    ).localCheckpoint(eager=True)
+    # same map as the one-scan explode the pre-round-4 pipeline used
+    cmap_old = canon.canonical_map(
+        linked.select(F.explode(F.array("subj", "obj")).alias("surface")),
+        exclude_exact=protected,
+    )
+    assert sorted(map(tuple, cmap.collect())) == sorted(
+        map(tuple, cmap_old.collect())
+    )
+    triples = canon.rewrite_triples(linked, cmap)
+    n1 = graph.materialize_nodes(triples, spark)
+    e1 = graph.materialize_edges(triples, spark, assume_closed=True)
+    for thr in (2_000_000, 0):  # broadcast rung, shuffle rung
+        n2 = graph.materialize_nodes_from_stats(
+            stats, cmap, spark, broadcast_threshold=thr
+        )
+        e2 = graph.materialize_edges_preagg(
+            linked, cmap, spark, broadcast_threshold=thr
+        )
+        assert sorted(map(tuple, n1.collect())) == sorted(
+            map(tuple, n2.collect())
+        )
+        assert sorted(map(tuple, e1.collect())) == sorted(
+            map(tuple, e2.collect())
+        )

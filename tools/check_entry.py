@@ -1,17 +1,25 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
-on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
-names, and order-insensitive values. Usage:
+on Spark and compare against its oracle — the DuckDB oracle_sql() where one
+exists, else the committed tests/golden/*.parquet fixture (q15-q20, q31),
+so queries the driver reports as `no_oracle` get real pass/fail rows here.
+Compares row count, column names, and order-insensitive values, and writes
+the per-query records to CORRECTNESS_local.json at the repo root.
+
+Usage:
     python tools/check_entry.py [sf_dir] [only_query_prefix]
 """
 
 from __future__ import annotations
 
+import importlib.util
+import json
 import math
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import duckdb
 
@@ -19,6 +27,8 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+GOLDEN_DIR = REPO / "tests" / "golden"
 
 
 def norm(v):
@@ -48,6 +58,53 @@ def rowset(cols, rows):
     return out
 
 
+def _golden_normalizers():
+    """The q18 tie-re-rank normalizer lives next to the golden pytest —
+    load it from there so the two comparers cannot drift."""
+    spec = importlib.util.spec_from_file_location(
+        "tgq", REPO / "tests" / "test_golden_queries.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._NORMALIZERS
+
+
+def compare(name, cols, rows, ocols, orows, normalizer=None):
+    """(record_updates, fail_reason|None) for one query vs one oracle."""
+    if sorted(cols) != sorted(ocols):
+        return (
+            {"schema_match": False, "rows_match": len(rows) == len(orows)},
+            f"columns {sorted(cols)} vs {sorted(ocols)}",
+        )
+    if len(rows) != len(orows):
+        return (
+            {"schema_match": True, "rows_match": False},
+            f"rowcount {len(rows)} vs {len(orows)}",
+        )
+    if normalizer is not None:
+        import pandas as pd
+
+        a_df = normalizer(pd.DataFrame(rows, columns=cols))
+        b_df = normalizer(pd.DataFrame(orows, columns=ocols))
+        rows = list(a_df.itertuples(index=False, name=None))
+        orows = list(b_df.itertuples(index=False, name=None))
+        cols, ocols = list(a_df.columns), list(b_df.columns)
+    a = rowset(cols, rows)
+    b = rowset(ocols, orows)
+    if a != b:
+        diff_a = {k: c for k, c in a.items() if b.get(k) != c}
+        diff_b = {k: c for k, c in b.items() if a.get(k) != c}
+        return (
+            {"schema_match": True, "rows_match": True, "hash_match": False},
+            f"value mismatch (spark-only={list(diff_a)[:3]}, "
+            f"oracle-only={list(diff_b)[:3]})",
+        )
+    return (
+        {"schema_match": True, "rows_match": True, "hash_match": True},
+        None,
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
@@ -62,58 +119,80 @@ def main():
         )
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    n_pass = n_fail = 0
+    normalizers = _golden_normalizers()
+    results: dict[str, dict] = {}
+    n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "oracle_kind": None,
+            "err": None,
+        }
+        results[name] = rec
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
-            rows = df.collect()
+            rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            rec["err"] = f"spark: {type(e).__name__}: {e}"
             n_fail += 1
             continue
         dt = time.time() - t0
-        if name not in osql:
+        rec["spark_rows"] = len(rows)
+        golden_path = GOLDEN_DIR / f"{name}.parquet"
+        if name in osql:
+            rec["oracle_kind"] = "duckdb"
+            try:
+                res = con.sql(osql[name])
+                ocols = list(res.columns)
+                orows = res.fetchall()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: duckdb error {e}")
+                rec["err"] = f"duckdb: {e}"
+                n_fail += 1
+                continue
+        elif golden_path.exists():
+            rec["oracle_kind"] = "golden"
+            import pandas as pd
+
+            gdf = pd.read_parquet(golden_path)
+            ocols = list(gdf.columns)
+            orows = list(gdf.itertuples(index=False, name=None))
+        else:
             print(f"ROWS-ONLY {name}: {len(rows)} rows ({dt:.1f}s)")
+            rec["err"] = "no_oracle"
+            n_rows_only += 1
             if len(rows) == 0:
                 print(f"  WARN {name}: zero rows")
             continue
-        try:
-            res = con.sql(osql[name])
-            ocols = [c for c in res.columns]
-            orows = res.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error {e}")
-            n_fail += 1
-            continue
-        ok = True
-        if sorted(cols) != sorted(ocols):
-            print(f"FAIL {name}: columns {sorted(cols)} vs {sorted(ocols)}")
-            ok = False
-        elif len(rows) != len(orows):
-            print(f"FAIL {name}: rowcount {len(rows)} vs {len(orows)}")
-            ok = False
-        else:
-            a = rowset(cols, [tuple(r) for r in rows])
-            b = rowset(ocols, orows)
-            if a != b:
-                diff_a = {k: c for k, c in a.items() if b.get(k) != c}
-                diff_b = {k: c for k, c in b.items() if a.get(k) != c}
-                print(
-                    f"FAIL {name}: value mismatch "
-                    f"(spark-only={list(diff_a)[:3]}, "
-                    f"oracle-only={list(diff_b)[:3]})"
-                )
-                ok = False
-        if ok:
-            print(f"PASS {name}: {len(rows)} rows ({dt:.1f}s)")
+        rec["oracle_rows"] = len(orows)
+        updates, fail = compare(
+            name, cols, rows, ocols, orows, normalizers.get(name)
+        )
+        rec.update(updates)
+        if fail is None:
+            print(
+                f"PASS {name} [{rec['oracle_kind']}]: "
+                f"{len(rows)} rows ({dt:.1f}s)"
+            )
             n_pass += 1
         else:
+            print(f"FAIL {name}: {fail}")
+            rec["err"] = fail
             n_fail += 1
-    print(f"SUMMARY pass={n_pass} fail={n_fail}")
+    out_path = REPO / "CORRECTNESS_local.json"
+    if not only:
+        out_path.write_text(json.dumps(results, indent=2) + "\n")
+        print(f"wrote {out_path}")
+    print(f"SUMMARY pass={n_pass} fail={n_fail} rows_only={n_rows_only}")
     spark.stop()
 
 

@@ -5,7 +5,17 @@ oracle (plain python / numpy / pandas — no Spark): the sequential
 reference-pipeline semantics of esgkg/oracle.py extended with the linking,
 canonicalization, graph and similarity steps those queries cover. The
 pytest in tests/test_golden_queries.py hash-compares every query's Spark
-DataFrame against its golden, making the six queries externally checkable.
+DataFrame against its golden.
+
+Independence caveat: the XXH64 used for graph ids is reimplemented here
+from the public spec (and cross-checked against F.xxhash64 by pytest), so
+the q16 golden is fully independent of the code under test. q17/q18,
+however, reuse `canon.canonical_map_local` and `kernel.hash_embed` from
+the esgkg package itself — those goldens pin DISTRIBUTED-vs-DRIVER
+consistency (the Spark plans must reproduce the driver-side semantics row
+for row), not an independent re-derivation of the canonicalization /
+embedding semantics. The semantics themselves are covered separately by
+the canon purity/completeness and unit-norm pytest suites.
 
 Usage: python tools/gen_goldens.py   (writes tests/golden/*.parquet)
 """
@@ -319,6 +329,138 @@ def gold_q20(k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "id", "score", "rank"])
 
 
+# ---------------------------------------------------------------------------
+# q31 — the evaluation harness over the 300-page KG, single-node. Reuses
+# kernel.hash_embed + canonical_map_local like q17/q18 (distributed-vs-driver
+# consistency — see the module docstring's independence caveat); the graph
+# materialization, subgraph search (score → threshold/top-k → BFS →
+# restricted edge set) and both evaluators are re-derived here in plain
+# python from the documented semantics (stages/graph.py materialize/bfs,
+# stages/rag.py search_subgraph, stages/evaluate.py).
+# ---------------------------------------------------------------------------
+def gold_q31(n_pages: int = 300, n_cases: int = 3) -> pd.DataFrame:
+    from esgkg import kernel, vocab
+
+    triples = _canonical_triples(n_pages)
+    cat = vocab.concept_category()
+    mentions: dict[str, int] = {}
+    inst: set[str] = set()
+    for s, p, o, _ in triples:
+        mentions[s] = mentions.get(s, 0) + 1
+        mentions[o] = mentions.get(o, 0) + 1
+        if p == "instance_of":
+            inst.add(s)
+    seed_names = (
+        {"ROOT"} | {c for c, _, _ in vocab.HIERARCHY} | set(vocab.LAWS)
+    )
+    all_names = sorted(set(mentions) | seed_names)
+    name2id = {n: name_id(n) for n in all_names}
+    id2name = {v: k for k, v in name2id.items()}
+    category = {n: cat.get(n, "Other") for n in all_names}
+    edge_keys = sorted(
+        {(name2id[s], name2id[o], p) for s, p, o, _ in triples}
+        | {(name2id[c], name2id[p], r) for c, p, r in vocab.HIERARCHY}
+    )
+    adj: dict[int, list[int]] = {}
+    for a, b, _r in edge_keys:
+        adj.setdefault(a, []).append(b)
+
+    weights = {"Environment": 1.2, "Social": 1.1, "Governance": 1.1}
+    emb = {n: kernel.hash_embed(n) for n in all_names}
+
+    def search(query: str, max_nodes: int, max_depth: int,
+               thr: float = 0.3) -> tuple[set, set]:
+        q = kernel.hash_embed(query)
+        scored = []
+        for n in all_names:
+            v = emb[n]
+            dot = 0.0
+            for i in range(len(v)):  # sequential f64 fold, like F.aggregate
+                dot += float(v[i]) * float(q[i])
+            scored.append((dot * weights.get(category[n], 1.0), n))
+        top = [
+            n
+            for s, n in sorted(scored, key=lambda t: (-t[0], t[1]))
+            if s >= thr
+        ][:max_nodes]
+        reach = {name2id[n] for n in top}
+        frontier = set(reach)
+        for _ in range(max_depth):
+            nxt = {
+                b for a in frontier for b in adj.get(a, ()) if b not in reach
+            }
+            if not nxt:
+                break
+            reach |= nxt
+            frontier = nxt
+        sub_names = {id2name[i] for i in reach if i in id2name}
+        rel_keys = {
+            f"{id2name[a]}-{r}-{id2name[b]}"
+            for a, b, r in edge_keys
+            if a in reach and b in reach and a in id2name and b in id2name
+        }
+        return sub_names, rel_keys
+
+    # synth_test_cases: top out-degree sources, first-3 sorted out-edges
+    outdeg: dict[int, int] = {}
+    for a, _b, _r in edge_keys:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    top_srcs = sorted(outdeg, key=lambda a: (-outdeg[a], a))[: n_cases * 4]
+    rel_cases, rag_cases = [], []
+    for src in top_srcs:
+        if len(rel_cases) >= n_cases:
+            break
+        if src not in id2name:
+            continue
+        sname = id2name[src]
+        outs = sorted(
+            (sname, r, id2name[b])
+            for a, b, r in edge_keys
+            if a == src and b in id2name
+        )[:3]
+        if not outs:
+            continue
+        rel_cases.append((sname, outs))
+        rag_cases.append(
+            (sname, sorted({sname} | {d for _, _, d in outs}), outs)
+        )
+
+    correct = 0
+    for sname, gold in rel_cases:
+        _, rel_keys = search(sname, 10, 2)
+        if rel_keys & {f"{s}-{t}-{d}" for s, t, d in gold}:
+            correct += 1
+    accuracy = correct / len(rel_cases) if rel_cases else 0.0
+    node_covs, rel_covs = [], []
+    for sname, concepts, outs in rag_cases:
+        sub_names, rel_keys = search(sname, 15, 3)
+        goldn = set(concepts)
+        node_covs.append(
+            len(sub_names & goldn) / len(goldn) if goldn else 0.0
+        )
+        goldr = {f"{s}-{t}-{d}" for s, t, d in outs}
+        rel_covs.append(len(rel_keys & goldr) / len(goldr) if goldr else 0.0)
+    n = len(rag_cases)
+    return pd.DataFrame(
+        [
+            (
+                accuracy,
+                round(sum(node_covs) / n, 6) if n else 0.0,
+                round(sum(rel_covs) / n, 6) if n else 0.0,
+                len(rel_cases),
+                n,
+            )
+        ],
+        columns=[
+            "accuracy",
+            "avg_node_coverage",
+            "avg_relation_coverage",
+            "n_rel_cases",
+            "n_rag_cases",
+        ],
+    )
+
+
 GOLDENS = {
     "q15_media_features": gold_q15,
     "q16_triples_by_pred": gold_q16,
@@ -326,6 +468,7 @@ GOLDENS = {
     "q18_predicted_links": gold_q18,
     "q19_ann_topk": gold_q19,
     "q20_knn_join": gold_q20,
+    "q31_evaluation_harness": gold_q31,
 }
 
 
