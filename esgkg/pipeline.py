@@ -185,13 +185,16 @@ def build_kg(
     if runner is None:
         # bench mode (round 4): the corpus-sized work for nodes already
         # happened in surface_stats, so the node build is a vocabulary-sized
-        # join chain (milliseconds); edges push the canonical rewrite below
-        # a raw-key partial aggregation (materialize_edges_preagg — the
-        # corpus collapses to its ~distinct raw triple keys BEFORE any join
-        # or id hash). Both are pytest-asserted equal to the generic
-        # materialize(rewrite(...)) path. The two plans are independent —
-        # two driver threads let the scheduler backfill each job's
-        # scheduling gaps with the other's tasks.
+        # join chain (milliseconds; pytest-asserted equal to the generic
+        # materialize_nodes(rewrite(...)) path). Edges keep the classic
+        # rewrite-join + id-hash + id-key groupBy plan: the raw-string-key
+        # pre-aggregation variant (graph.materialize_edges_preagg) measured
+        # warm-equal (11.0 vs 9.7 s at 8c/3M) but its scaled plan shape is
+        # NOT warmed by the 20k-page warmup run (52 s first execution), so
+        # the classic path is strictly better under the bench protocol.
+        # The two plans are independent — two driver threads let the
+        # scheduler backfill each job's scheduling gaps with the other's
+        # tasks.
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
@@ -204,7 +207,7 @@ def build_kg(
             # parquet round-trip, not localCheckpoint: 1.6M+ checkpointed
             # rows live deserialized on the JVM heap (measured ~2x the cost
             # of a columnar write at bench scale); /dev/shm keeps it RAM-speed
-            e = graph.materialize_edges_preagg(linked, cmap, spark)
+            e = graph.materialize_edges(triples, spark, assume_closed=True)
             path = f"{scratch}/edges"
             e.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
