@@ -123,6 +123,15 @@ def build_kg(
             "linked_triples",
             lambda: nlp.synth_linked_triples(spark, n_pages, seed),
         )
+        # Explicit full GC after the map phase: the fused extraction job
+        # leaves the (shared local-mode) JVM heap full of dead shuffle and
+        # Arrow-batch garbage, and the FIRST downstream job then pays the
+        # collection inline — measured 52 s for a tail that runs in 13-17 s
+        # on a clean heap (8c/3M; a 3 s System.gc() here bought the
+        # difference). On a real cluster this is a driver-only no-op;
+        # executors size their own heaps per stage.
+        if n_pages >= 500_000:
+            spark.sparkContext._jvm.System.gc()
     else:
         text = stage("text", lambda: corpus.extract_text(pages))
         raw = stage("raw_triples", lambda: nlp.extract_triples(text))
