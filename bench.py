@@ -70,14 +70,6 @@ BENCH_QUERIES = [
 ]
 
 
-def _burn(q):
-    t0 = time.time()
-    x = 0
-    while time.time() - t0 < 2.5:
-        x += 1
-    q.put(x)
-
-
 def _kernel_burn(worker_id: int, q, dur: float) -> None:
     # the pipeline's dominant phase per page, outside Spark entirely
     from esgkg import kernel, synth
@@ -104,37 +96,43 @@ def _fanout(target, n: int, args: tuple) -> int:
     return total
 
 
-def raw_cpu_speedup(lo: int, hi: int) -> float:
-    """Spin envelope: total iterations of a pure-python arithmetic spin
-    across lo vs hi concurrent processes. Cache-resident and
-    bandwidth-free, so it measures scheduler/clock capacity only."""
-    out = []
-    for n in (lo, hi):
-        q = mp.Queue()
-        ps = [mp.Process(target=_burn, args=(q,)) for _ in range(n)]
-        for p in ps:
-            p.start()
-        total = sum(q.get() for _ in range(n))
-        for p in ps:
-            p.join()
-        out.append(total)
-    return out[1] / out[0]
+def _spin_burn(worker_id: int, q, dur: float) -> None:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < dur:
+        x += 1
+    q.put(x)
 
 
-def kernel_cpu_speedup(lo: int, hi: int, dur: float = 8.0) -> float:
-    """Workload-matched hardware envelope: pages/sec of the ACTUAL per-page
-    kernel (synth → HTML→text → relation extraction — the pipeline's
-    dominant phase) run as plain multiprocessing, no Spark. This is what
-    THIS host delivers for the pipeline's instruction mix at lo vs hi
-    busy cores; measured consistently below the arithmetic spin (~3.5-3.9
-    vs ~3.9-4.1 on the 2→8 pair) because two busy cores get higher
-    clocks and exclusive cache — a single-host effect a real N→4N
+def raw_cpu_sample(lo: int, hi: int, dur: float = 2.5) -> tuple[int, int]:
+    """Spin envelope sample: (lo_total, hi_total) iterations of a pure
+    arithmetic spin across lo vs hi concurrent processes. Cache-resident
+    and bandwidth-free, so it measures scheduler/clock capacity only."""
+    return _fanout(_spin_burn, lo, (dur,)), _fanout(_spin_burn, hi, (dur,))
+
+
+def kernel_cpu_sample(lo: int, hi: int, dur: float = 8.0) -> tuple[int, int]:
+    """Workload-matched envelope sample: (lo_pages, hi_pages) of the ACTUAL
+    per-page kernel (synth → HTML→text → relation extraction — the
+    pipeline's dominant phase) run as plain multiprocessing, no Spark.
+    This is what THIS host delivers for the pipeline's instruction mix at
+    lo vs hi busy cores; it reads below the arithmetic spin in calm
+    windows (~3.6 vs ~3.9-4.1 on the 2→8 pair) because two busy cores get
+    higher clocks and exclusive cache — a single-host effect a real N→4N
     executor fleet does not have (each node brings its own clock/cache
     budget). Reported alongside the spin so both normalizations are
     auditable."""
-    lo_pages = _fanout(_kernel_burn, lo, (dur,))
-    hi_pages = _fanout(_kernel_burn, hi, (dur,))
-    return hi_pages / lo_pages
+    return _fanout(_kernel_burn, lo, (dur,)), _fanout(_kernel_burn, hi, (dur,))
+
+
+def best_per_level(samples: list[tuple[int, int]]) -> float:
+    """Envelope estimator, symmetric with the pipeline's min-time rule:
+    tenant noise only SUBTRACTS throughput, so the hardware's capacity at
+    each level is the best observed total across samples; the envelope
+    ratio is best-hi / best-lo. A per-sample ratio (or a median of
+    ratios) is biased by whichever level the noise happened to hit inside
+    one sample — a strangled 2-process phase reads as a 5x+ 'speedup'."""
+    return max(h for _, h in samples) / max(l for l, _ in samples)
 
 
 def run_pipeline_subprocess(cores: int, pages: int) -> dict:
@@ -185,8 +183,8 @@ def main() -> None:
     # unbiased)
     budget = float(os.environ.get("ESGKG_BENCH_BUDGET_SEC", "1800"))
     t_start = time.time()
-    hw_samples = [raw_cpu_speedup(CORES_LO, CORES_HI) for _ in range(2)]
-    kc_samples = [kernel_cpu_speedup(CORES_LO, CORES_HI)]
+    hw_samples = [raw_cpu_sample(CORES_LO, CORES_HI) for _ in range(2)]
+    kc_samples = [kernel_cpu_sample(CORES_LO, CORES_HI)]
     lo_runs, hi_runs = [], []
     for i in range(max(repeats, repeats_hi)):
         if i >= 1 and time.time() - t_start > budget:
@@ -199,17 +197,11 @@ def main() -> None:
             # one kernel-calibration sample between pipeline pairs: the
             # workload-matched envelope gets interleaved coverage of the
             # same measurement window as the runs it normalizes
-            kc_samples.append(kernel_cpu_speedup(CORES_LO, CORES_HI))
-    hw_samples += [raw_cpu_speedup(CORES_LO, CORES_HI) for _ in range(2)]
-    kc_samples.append(kernel_cpu_speedup(CORES_LO, CORES_HI))
-    hw_sorted = sorted(hw_samples)
-    hw_speedup = (hw_sorted[1] + hw_sorted[2]) / 2  # median of 4
-    hw_before, hw_after = hw_samples[0], hw_samples[-1]
-    kc_sorted = sorted(kc_samples)
-    kc_mid = (len(kc_sorted) - 1) / 2
-    kernel_speedup = (
-        kc_sorted[int(kc_mid)] + kc_sorted[int(kc_mid + 0.5)]
-    ) / 2  # median
+            kc_samples.append(kernel_cpu_sample(CORES_LO, CORES_HI))
+    hw_samples += [raw_cpu_sample(CORES_LO, CORES_HI) for _ in range(2)]
+    kc_samples.append(kernel_cpu_sample(CORES_LO, CORES_HI))
+    hw_speedup = best_per_level(hw_samples)
+    kernel_speedup = best_per_level(kc_samples)
     lo = max(lo_runs, key=lambda r: r["triples_per_sec"])
     hi = max(hi_runs, key=lambda r: r["triples_per_sec"])
     speedup = hi["triples_per_sec"] / lo["triples_per_sec"]
@@ -254,16 +246,21 @@ def main() -> None:
                     "triples_per_sec_hi": hi["triples_per_sec"],
                     "speedup": round(speedup, 3),
                     "efficiency": round(efficiency, 3),
+                    # both envelopes use the best-per-level estimator
+                    # (symmetric with the pipeline's min-time rule); every
+                    # per-level sample is published for audit
                     "raw_cpu_speedup": round(hw_speedup, 3),
-                    "raw_cpu_speedup_before": round(hw_before, 3),
-                    "raw_cpu_speedup_after": round(hw_after, 3),
-                    "raw_cpu_samples": [round(x, 3) for x in hw_samples],
+                    "raw_cpu_samples": [
+                        [l, h, round(h / l, 3)] for l, h in hw_samples
+                    ],
                     # workload-matched envelope: the real per-page kernel as
-                    # plain multiprocessing (see kernel_cpu_speedup);
+                    # plain multiprocessing (see kernel_cpu_sample);
                     # efficiency_vs_hw normalizes by it, efficiency_vs_spin
                     # keeps the round-1..3 arithmetic-spin normalization
                     "kernel_cpu_speedup": round(kernel_speedup, 3),
-                    "kernel_cpu_samples": [round(x, 3) for x in kc_samples],
+                    "kernel_cpu_samples": [
+                        [l, h, round(h / l, 3)] for l, h in kc_samples
+                    ],
                     "efficiency_vs_hw": round(speedup / kernel_speedup, 3),
                     "efficiency_vs_spin": round(speedup / hw_speedup, 3),
                     "estimator": (
