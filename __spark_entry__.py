@@ -578,8 +578,10 @@ def _q31_evaluation_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.9 evaluation runner (/root/reference/scripts/05_evaluation.py:
     # 119-148 analog): synthesize test cases from the built KG, run
     # relation-inference accuracy + RAG coverage, emit the aggregate row.
-    # Not SQL-expressible (hash-embedding subgraph search + BFS) — covered
-    # by the hand-computed pytest fixture instead of a DuckDB oracle.
+    # Not SQL-expressible (hash-embedding subgraph search + BFS) — checked
+    # against the committed single-node golden (tests/golden/
+    # q31_evaluation_harness.parquet, gen_goldens.gold_q31) plus the
+    # hand-computed pytest fixtures in tests/test_evaluators.py.
     from esgkg import pipeline
     from esgkg.stages import evaluate
 
@@ -1026,9 +1028,10 @@ def oracle_sql() -> dict[str, str]:
                       list_transform(b.embedding, x -> CAST(x AS DOUBLE))
                   ) >= 0.3
         """,
-        # q15-q20: non-SQL-expressible (Python-kernel pipeline semantics,
-        # LSH/ANN bucketing, Arrow-batched media decode) → rows-only checks;
+        # q15-q20, q31: non-SQL-expressible (Python-kernel pipeline
+        # semantics, LSH/ANN bucketing, Arrow-batched media decode,
+        # hash-embedding subgraph search + BFS) → rows-only checks here;
         # externally checked instead by the committed golden fixtures
-        # (tests/golden/, tools/gen_goldens.py). q31: ditto (hash-embedding
-        # subgraph search + BFS), hand-computed pytest fixtures.
+        # (tests/golden/, tools/gen_goldens.py) — tools/check_entry.py
+        # diffs them into CORRECTNESS_local.json alongside the SQL rows.
     }
