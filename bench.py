@@ -41,18 +41,21 @@ CORES_LO, CORES_HI = (
     int(os.environ.get("ESGKG_BENCH_CORES_LO", "2")),
     int(os.environ.get("ESGKG_BENCH_CORES_HI", "8")),
 )
-# 6M pages at sf0.1 (round 2: 1M, round 3: 3M): the map phase scales at
-# the hardware limit while the graph tail carries fixed per-job latency —
-# a larger corpus amortizes the tail exactly as a 100-TB run would (where
-# the map phase is >99.9% of the work). The round-4 tail cuts (shared
-# surface_stats pass, post-map-phase GC) keep 6M affordable; the
-# wall-clock budget below adapts the repeat count so the total stays
-# bounded on slow host windows.
+# 3M pages at sf0.1 (round 2: 1M, rounds 3/5: 3M, round 4: 6M): the map
+# phase scales at the hardware limit while the graph tail carries fixed
+# per-job latency — a larger corpus amortizes the tail exactly as a 100-TB
+# run would (where the map phase is >99.9% of the work). Round 4's 6M
+# default was budget-INCONSISTENT: a 2-core run alone cost ~800 s, so the
+# 1800 s budget cut the driver's run to best-of-2 pairs on a host whose
+# identical runs vary 2-3x — the min-time estimator was starved of draws
+# (round-4 verdict item 1). 3M fits 3 full interleaved lo/hi pairs inside
+# the default budget (~400 s lo + ~110 s hi per pair in calm windows), so
+# the DEFAULT configuration now completes the full protocol.
 PAGES = int(
     os.environ.get(
         "ESGKG_BENCH_PAGES",
-        {"sf0.001": 10000, "sf0.01": 100000, "sf0.1": 6000000}.get(
-            Path(SF_DIR).name, 6000000
+        {"sf0.001": 10000, "sf0.01": 100000, "sf0.1": 3000000}.get(
+            Path(SF_DIR).name, 3000000
         ),
     )
 )
@@ -254,15 +257,18 @@ def main() -> None:
                         [l, h, round(h / l, 3)] for l, h in hw_samples
                     ],
                     # workload-matched envelope: the real per-page kernel as
-                    # plain multiprocessing (see kernel_cpu_sample);
-                    # efficiency_vs_hw normalizes by it, efficiency_vs_spin
-                    # keeps the round-1..3 arithmetic-spin normalization
+                    # plain multiprocessing (see kernel_cpu_sample),
+                    # published under its OWN key. efficiency_vs_hw keeps the
+                    # round-1..3 arithmetic-spin normalization so the same
+                    # key stays apples-to-apples across rounds (round-4
+                    # advice: rebinding an established key to a new
+                    # denominator silently redefines the headline)
                     "kernel_cpu_speedup": round(kernel_speedup, 3),
                     "kernel_cpu_samples": [
                         [l, h, round(h / l, 3)] for l, h in kc_samples
                     ],
-                    "efficiency_vs_hw": round(speedup / kernel_speedup, 3),
-                    "efficiency_vs_spin": round(speedup / hw_speedup, 3),
+                    "efficiency_vs_hw": round(speedup / hw_speedup, 3),
+                    "efficiency_vs_kernel": round(speedup / kernel_speedup, 3),
                     "estimator": (
                         f"best-of-{len(lo_runs)} lo / best-of-{len(hi_runs)}"
                         " hi, interleaved"

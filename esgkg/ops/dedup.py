@@ -91,12 +91,15 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     whose bucket survived the size cap, so a pair whose agreeing bands
     mostly landed in oversized (dropped) buckets would otherwise lose
     evidence it actually has. The prefilter therefore lowers each pair's
-    required agreement by the number of agreements the cap COULD have
-    hidden — min(dropped_bands(a), dropped_bands(b)), since a hidden
-    agreement needs both members in the same capped bucket — never below 1.
-    The threshold is also clamped to `bands` so callers passing bands <
-    min_band_agreement still get the one-band behavior instead of zero
-    pairs unconditionally.
+    required agreement by the EXACT number of agreements the cap hid — the
+    count of bands where both members share the same capped bucket (a join
+    of the dropped-band rows against the already-colliding candidate pairs,
+    never a quadratic expansion) — never below 1. A per-id bound
+    (min of each member's dropped-band counts) was tried first and relaxes
+    far too broadly on boilerplate-heavy corpora, where most docs touch ≥1
+    oversized bucket through unrelated boilerplate. The threshold is also
+    clamped to `bands` so callers passing bands < min_band_agreement still
+    get the one-band behavior instead of zero pairs unconditionally.
 
     Oversized band buckets (boilerplate skew) are excluded from the
     quadratic pair join; with `recover_oversized` their members are
@@ -144,16 +147,9 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         sizes.filter(F.col("n") <= max_bucket).select("band_id", "band_hash"),
         ["band_id", "band_hash"],
     )
-    # per-id count of bands lost to the bucket cap — feeds the prefilter's
-    # per-pair threshold adjustment (docstring: max_bucket interaction)
-    n_dropped = (
-        b.join(oversized, ["band_id", "band_hash"])
-        .groupBy("id")
-        .agg(F.count("*").alias("nd"))
-    )
     eff_agreement = max(1, min(min_band_agreement, bands))
     l, r = ok.alias("l"), ok.alias("r")
-    cand = (
+    pairs0 = (
         l.join(
             r,
             (F.col("l.band_id") == F.col("r.band_id"))
@@ -165,29 +161,52 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
         # collision count doubles as the signature-agreement prefilter
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_bands"))
-        .join(
-            n_dropped.select(F.col("id").alias("a"), F.col("nd").alias("nd_a")),
-            "a",
-            "left",
-        )
-        .join(
-            n_dropped.select(F.col("id").alias("b"), F.col("nd").alias("nd_b")),
-            "b",
-            "left",
-        )
-        .filter(
-            F.col("n_bands")
-            >= F.greatest(
-                F.lit(1),
-                F.lit(eff_agreement)
-                - F.least(
-                    F.coalesce(F.col("nd_a"), F.lit(0)),
-                    F.coalesce(F.col("nd_b"), F.lit(0)),
-                ),
-            )
-        )
-        .select("a", "b")
     )
+    if eff_agreement <= 1:
+        cand = pairs0.select("a", "b")
+    else:
+        # EXACT per-pair relaxation: count only bands where BOTH members sit
+        # in the SAME capped bucket — precisely the agreements the cap could
+        # have hidden. (The earlier min(nd_a, nd_b) over ANY oversized bucket
+        # relaxed the threshold to ~1 for nearly every pair on boilerplate-
+        # heavy corpora, disabling the prefilter exactly where it matters —
+        # round-4 advice.) Never a quadratic expansion: the dropped-band rows
+        # are joined against the ALREADY-COLLIDING candidate pairs (≤ bands
+        # rows per id per side), not against each other; pairs whose every
+        # agreement was dropped stay the accepted recall loss of the cap.
+        # pairs0 feeds both the relaxation join and the final filter —
+        # checkpoint so the quadratic bucket join runs once.
+        pairs0 = pairs0.localCheckpoint(eager=True)
+        dropped_bands = b.join(oversized, ["band_id", "band_hash"])
+        shared_dropped = (
+            pairs0.select("a", "b")
+            .join(
+                dropped_bands.select(
+                    F.col("id").alias("a"), "band_id", "band_hash"
+                ),
+                "a",
+            )
+            .join(
+                dropped_bands.select(
+                    F.col("id").alias("b"), "band_id", "band_hash"
+                ),
+                ["b", "band_id", "band_hash"],
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("nd_shared"))
+        )
+        cand = (
+            pairs0.join(shared_dropped, ["a", "b"], "left")
+            .filter(
+                F.col("n_bands")
+                >= F.greatest(
+                    F.lit(1),
+                    F.lit(eff_agreement)
+                    - F.coalesce(F.col("nd_shared"), F.lit(0)),
+                )
+            )
+            .select("a", "b")
+        )
     texts = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("ta"))
     cand = cand.join(texts, "a").join(
         docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("tb")), "b"

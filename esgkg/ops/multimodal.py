@@ -130,6 +130,10 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
     raw = zlib.decompress(bytes(idat))
     ch = {0: 1, 2: 3, 6: 4}[color_type]
     stride = width * ch
+    # validate up front (mirrors the BMP path's contract): a truncated or
+    # corrupt IDAT would otherwise surface as a bare IndexError mid-filter
+    if len(raw) < height * (1 + stride):
+        raise ValueError("truncated PNG payload")
     out = bytearray()
     prev = bytearray(stride)
     p = 0

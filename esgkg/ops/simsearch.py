@@ -179,9 +179,10 @@ def scored_topk_per_partition(embeddings: DataFrame, queries: DataFrame,
     qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
-            f"pairwise_topk_join probe side exceeds max_queries="
-            f"{max_queries}; it is collected+broadcast and must be small "
-            "(raise max_queries deliberately, or use ann/ivf indexes)"
+            f"the kNN probe (queries) side exceeds max_queries="
+            f"{max_queries} in scored_topk_per_partition; it is "
+            "collected+broadcast and must be small (raise max_queries "
+            "deliberately, or use ann/ivf indexes)"
         )
     qids = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
@@ -278,6 +279,8 @@ def ivf_train_centroids(embeddings: DataFrame, n_lists: int = 64,
     plugs into ivf_assign/ivf_topk via their `centroids` parameter."""
     _session.ensure_shipped(embeddings.sparkSession)
     first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     cents = _seeded_centroids(len(first[0]), n_lists, seed)
     sc = embeddings.sparkSession.sparkContext
     schema = T.StructType(

@@ -149,11 +149,16 @@ def build_kg(
         # over the vocabulary) and the node build below. Before round 4
         # the canon stage and the node build each re-scanned the corpus.
         stats = stage("surface_stats", lambda: graph.surface_stats(linked))
+        # assume_distinct: stats is a groupBy output (one row per surface by
+        # construction) and already checkpointed — canonical_map skips its
+        # own distinct+localCheckpoint plus the banding/recovery dedup
+        # shuffles (~7 s of fixed vocabulary-shuffle latency per run)
         cmap = stage(
             "canon_map",
             lambda: canon.canonical_map(
                 stats.select(F.col("name").alias("surface")),
                 exclude_exact=protected,
+                assume_distinct=True,
             ),
         )
     else:
@@ -243,7 +248,12 @@ def build_kg(
             else graph.materialize(triples, spark)[1],
             partition_by=["relation"],
         )
-    predicted = stage("predicted_links", lambda: complete.adamic_adar(edges, top_k))
+    predicted = stage(
+        "predicted_links",
+        lambda: complete.adamic_adar(
+            edges, top_k, checkpoint_und=runner is not None
+        ),
+    )
     result = {
         "pages": pages,
         "text": text,

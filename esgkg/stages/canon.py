@@ -57,8 +57,13 @@ _BANDS_SCHEMA = T.StructType(
 
 
 def band_rows(surfaces: DataFrame, col: str = "surface",
-              k: int = 32, bands: int = 16, ngram: int = 3) -> DataFrame:
-    """distinct surfaces → (surface, band_id, band_hash) LSH bucket rows."""
+              k: int = 32, bands: int = 16, ngram: int = 3,
+              assume_distinct: bool = False) -> DataFrame:
+    """distinct surfaces → (surface, band_id, band_hash) LSH bucket rows.
+
+    `assume_distinct` skips the dedup shuffle when the caller guarantees the
+    input is already one row per surface (e.g. a groupBy output) — each
+    distinct over the vocabulary is a full shuffle job of fixed latency."""
     _session.ensure_shipped(surfaces.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,19 +83,18 @@ def band_rows(surfaces: DataFrame, col: str = "surface",
     # ~1 partition, but the minhash kernel is CPU-heavy per row — spread it
     # across all cores regardless of byte size
     par = surfaces.sparkSession.sparkContext.defaultParallelism
-    return (
-        surfaces.select(F.col(col).alias("surface"))
-        .distinct()
-        .repartition(par)
-        .mapInPandas(run, schema=_BANDS_SCHEMA)
-    )
+    pool = surfaces.select(F.col(col).alias("surface"))
+    if not assume_distinct:
+        pool = pool.distinct()
+    return pool.repartition(par).mapInPandas(run, schema=_BANDS_SCHEMA)
 
 
 def candidate_pairs(surfaces: DataFrame, col: str = "surface",
                     k: int = 32, bands: int = 16, ngram: int = 3,
                     max_bucket: int = 64,
                     edit_prefilter: float | None = None,
-                    recover_exact: bool = True) -> DataFrame:
+                    recover_exact: bool = True,
+                    assume_distinct: bool = False) -> DataFrame:
     """LSH candidate pairs (a < b). Oversized buckets are excluded (skew
     guard); `recover_exact` diverts what the cap would lose that is still
     O(n)-recoverable: a whitespace-normalized EXACT pass over the whole
@@ -113,8 +117,14 @@ def candidate_pairs(surfaces: DataFrame, col: str = "surface",
     groupBy + a join + a sort-merge self-join over the same rows, three
     shuffles of fixed latency that dominated wall time at vocabulary scale).
     The distinct() that dedups a pair colliding in several bands is a
-    shuffle of the (small) candidate set itself."""
-    b = band_rows(surfaces, col, k, bands, ngram)
+    shuffle of the (small) candidate set itself.
+
+    `assume_distinct` (forwarded to band_rows and honored by the recovery
+    pass) skips BOTH per-surface dedup shuffles when the caller guarantees
+    one row per surface — e.g. the pipeline's surface_stats groupBy output,
+    where each redundant distinct is a full vocabulary shuffle job of fixed
+    latency."""
+    b = band_rows(surfaces, col, k, bands, ngram, assume_distinct)
     buckets = (
         b.groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("surface")).alias("ms"))
@@ -133,9 +143,11 @@ def candidate_pairs(surfaces: DataFrame, col: str = "surface",
         .select("p.a", "p.b")
     )
     if recover_exact:
+        rec_pool = surfaces.select(F.col(col).alias("surface"))
+        if not assume_distinct:
+            rec_pool = rec_pool.distinct()
         norm_groups = (
-            surfaces.select(F.col(col).alias("surface"))
-            .distinct()
+            rec_pool
             .groupBy(
                 F.regexp_replace(F.col("surface"), WS_CLASS, "").alias("nk")
             )
@@ -233,13 +245,29 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
     magnitude smaller than the corpus, so when it fits comfortably on the
     driver (≤ small_threshold edges) we run exact union-find locally and
     broadcast the result — identical output, none of the iterative-join
-    latency. The distributed fixpoint is the ≥threshold path."""
+    latency. The distributed fixpoint is the ≥threshold path. BOTH driver
+    collects are probed with limit(threshold+1) — an over-threshold
+    `vertices` frame routes to the distributed path the same way an
+    over-threshold pair graph does, so no caller input can trigger an
+    unbounded collect."""
     global LAST_CC_STRATEGY
     spark = pairs.sparkSession
     # single job: grab up to threshold+1 rows; only fall back to the
     # distributed fixpoint when the pair graph is genuinely large
     head = pairs.limit(small_threshold + 1).collect()
-    if len(head) <= small_threshold:
+    vhead: list | None = None
+    if vertices is not None and len(head) <= small_threshold:
+        # the local rung also collects the vertex frame (for singleton
+        # identity rows) — probe its size the same way instead of an
+        # unguarded full collect, so an unexpectedly huge vertex set routes
+        # to the distributed fixpoint by construction
+        vcol0 = vertices.columns[0]
+        vhead = (
+            vertices.select(vcol0).distinct().limit(small_threshold + 1).collect()
+        )
+    if len(head) <= small_threshold and (
+        vhead is None or len(vhead) <= small_threshold
+    ):
         LAST_CC_STRATEGY = "local"
         rows = head
         parent: dict[str, str] = {}
@@ -257,13 +285,10 @@ def connected_components(pairs: DataFrame, vertices: DataFrame | None = None,
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = sorted((n, find(n)) for n in parent)
-        if vertices is not None:
-            vcol = vertices.columns[0]
+        if vhead is not None:
             have = set(parent)
             extra = [
-                (r[0], r[0])
-                for r in vertices.select(vcol).distinct().collect()
-                if r[0] not in have
+                (r[0], r[0]) for r in vhead if r[0] not in have
             ]
             out = sorted(out + extra)
         if not out:
@@ -384,7 +409,8 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
                   max_bucket: int = 64,
                   exclude_exact: list[str] | None = None,
                   driver_threshold: int = 4_096,
-                  pair_threshold: int = 200_000) -> DataFrame:
+                  pair_threshold: int = 200_000,
+                  assume_distinct: bool = False) -> DataFrame:
     """surface → canonical for every input surface (identity for singletons).
 
     Merging is the transitive closure over verified pairs: two variants that
@@ -408,15 +434,23 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
        with cores); the verified near-dup pair graph is orders of magnitude
        smaller than the vocabulary, so ≤ `pair_threshold` pairs finish with
        a driver union-find (exact, no iterative-join latency), and only a
-       genuinely huge pair graph takes the distributed CC fixpoint."""
+       genuinely huge pair graph takes the distributed CC fixpoint.
+
+    `assume_distinct`: the caller guarantees one row per surface AND that
+    the input is already materialized (e.g. the pipeline's checkpointed
+    surface_stats groupBy output). Skips this function's own
+    distinct+localCheckpoint — at bench scale that pair of vocabulary-wide
+    shuffle jobs is ~7 s of fixed latency paid identically at every core
+    count — and forwards the guarantee to candidate_pairs, whose banding
+    and whitespace-recovery passes each drop one more dedup shuffle.
+    Rung-equality on distinct inputs is pytest-asserted."""
     # one distinct over the (large) surface stream feeds both the LSH pool
-    # and the identity join — computed once, reused
+    # and the identity join — computed once, reused (skipped entirely when
+    # the caller already holds the distinct, materialized pool)
     global LAST_STRATEGY
-    all_s = (
-        surfaces.select(F.col(col).alias("surface"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    all_s = surfaces.select(F.col(col).alias("surface"))
+    if not assume_distinct:
+        all_s = all_s.distinct().localCheckpoint(eager=True)
     spark = surfaces.sparkSession
     head = all_s.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
@@ -446,7 +480,8 @@ def canonical_map(surfaces: DataFrame, col: str = "surface",
     # (> pair_threshold verified pairs) re-evaluates the chain.
     pairs = verify_pairs(
         candidate_pairs(pool, "surface", max_bucket=max_bucket,
-                        edit_prefilter=edit_threshold),
+                        edit_prefilter=edit_threshold,
+                        assume_distinct=assume_distinct),
         threshold=jaccard_threshold,
         edit_threshold=edit_threshold,
     ).select("a", "b")

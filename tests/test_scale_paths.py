@@ -519,3 +519,64 @@ def test_preagg_nodes_edges_equal_generic(spark):
         assert sorted(map(tuple, e1.collect())) == sorted(
             map(tuple, e2.collect())
         )
+
+
+def test_adamic_adar_lazy_und_equals_checkpointed(spark):
+    """checkpoint_und=False (the pipeline bench fold: und stays a lazy
+    scan+distinct fused into consumer jobs) must be row-identical to the
+    checkpointed default."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6), (6, 1)],
+        "src long, dst long",
+    )
+    a = complete.adamic_adar(edges, top_k=5)
+    b = complete.adamic_adar(edges, top_k=5, checkpoint_und=False)
+    key = lambda r: (r.src, r.dst)
+    got_a = {key(r): (r.common_neighbors, round(r.aa_score, 9), r.rank)
+             for r in a.collect()}
+    got_b = {key(r): (r.common_neighbors, round(r.aa_score, 9), r.rank)
+             for r in b.collect()}
+    assert got_a == got_b and got_a
+
+
+def test_canonical_map_assume_distinct_equals_default(spark):
+    """assume_distinct=True on an already-distinct pool (the pipeline feeds
+    the surface_stats groupBy keys) must equal the default path on BOTH
+    rungs — it only removes redundant dedup shuffles, never rows."""
+    linked = _triples(spark, 60)
+    pool = (
+        linked.select(F.col("subj").alias("surface"))
+        .union(linked.select(F.col("obj").alias("surface")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for thr in (4_096, 0):  # driver rung, distributed rung
+        base = sorted(
+            map(tuple, canon.canonical_map(pool, driver_threshold=thr).collect())
+        )
+        fast = sorted(
+            map(
+                tuple,
+                canon.canonical_map(
+                    pool, driver_threshold=thr, assume_distinct=True
+                ).collect(),
+            )
+        )
+        assert base == fast and base
+
+
+def test_connected_components_vertices_guard(spark):
+    """An over-threshold `vertices` frame must route to the distributed
+    fixpoint (no unbounded driver collect) and still produce the identity
+    rows for singleton vertices."""
+    pairs = spark.createDataFrame([("a", "b"), ("c", "d")], "a string, b string")
+    verts = spark.createDataFrame(
+        [(f"v{i:02d}",) for i in range(10)] + [("a",), ("c",)], "v string"
+    )
+    out = canon.connected_components(pairs, vertices=verts, small_threshold=4)
+    assert canon.LAST_CC_STRATEGY == "distributed"
+    got = {(r.surface, r.canonical) for r in out.collect()}
+    want = {("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")} | {
+        (f"v{i:02d}", f"v{i:02d}") for i in range(10)
+    }
+    assert got == want
