@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, in which case a
-deterministic fake decoder derives (width, height, mean_luma) from the bytes.
-Everything Spark-side — schema, partitioning, UDF signature, Arrow batch
-shape — is real and tested; swapping in PIL/librosa is a one-function change.
+`decode_image` natively decodes 24-bit BMP and 8-bit non-interlaced PNG
+(pure stdlib+numpy) and parses JPEG dimensions from the SOF header; formats
+beyond that raise NotImplementedError (no image/audio libraries in this
+container), and `fake=True` selects a deterministic synthetic decoder for
+opaque test payloads. Everything Spark-side — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested; swapping in PIL/librosa
+is a one-function change.
 """
 
 from __future__ import annotations
@@ -177,12 +179,55 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
     return width, height, float(luma.mean() / 255.0)
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
+def _parse_jpeg_dims(b: bytes) -> tuple[int, int, None]:
+    """JPEG dimensions from the SOF frame header — a marker-segment scan,
+    no entropy decode. Walks the segment stream (0xFF marker + big-endian
+    length) to the first SOFn marker (0xC0-0xCF excluding DHT 0xC4, JPG
+    0xC8, DAC 0xCC — the baseline/progressive/lossless frame family) and
+    reads (height, width) from its fixed-layout payload. mean_luma is None
+    by contract: luma needs the entropy-coded scan data, which genuinely
+    requires a decode library."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone marker, no length field
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(b):
+            raise ValueError("truncated JPEG segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 7:
+                raise ValueError("truncated JPEG SOF segment")
+            height = int.from_bytes(b[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(b[pos + 7 : pos + 9], "big")
+            if width == 0 or height == 0:
+                raise ValueError("JPEG SOF with zero dimension")
+            return width, height, None
+        if marker == 0xDA:  # SOS: entropy data follows, SOF must precede it
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG without SOF frame header")
+
+
+def decode_image(payload: bytes,
+                 fake: bool = False) -> tuple[int, int, float | None]:
     """(width, height, mean_luma). Real decode natively covers 24-bit
     uncompressed BMP and 8-bit gray/RGB/RGBA non-interlaced PNG (pure
-    stdlib+numpy — no imaging library in this container); other formats
-    raise NotImplementedError. `fake=True` keeps the deterministic
-    synthetic decoder for opaque test payloads (q15's golden path)."""
+    stdlib+numpy — no imaging library in this container); JPEG gets a
+    dimensions-only SOF parse (mean_luma=None — documented boundary: luma
+    needs entropy decode). Other formats raise NotImplementedError.
+    `fake=True` keeps the deterministic synthetic decoder for opaque test
+    payloads (q15's golden path)."""
     if fake:
         h = hashlib.blake2b(payload or b"", digest_size=8).digest()
         w = 64 + h[0] % 192
@@ -193,10 +238,13 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, float]:
         return _decode_bmp(payload)
     if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload and payload[:2] == b"\xff\xd8":
+        return _parse_jpeg_dims(payload)
     raise NotImplementedError(
-        "native decode covers BMP (24-bit uncompressed) and PNG (8-bit, "
-        "non-interlaced) only; other formats need PIL/opencv (not "
-        "installed) — pass fake=True for the deterministic stand-in"
+        "native coverage: BMP (24-bit uncompressed) and PNG (8-bit, "
+        "non-interlaced) full decode, JPEG dimensions-only; full JPEG/"
+        "other-format decode needs PIL/opencv (not installed) — pass "
+        "fake=True for the deterministic stand-in"
     )
 
 

@@ -248,11 +248,12 @@ def build_kg(
             else graph.materialize(triples, spark)[1],
             partition_by=["relation"],
         )
+    # checkpoint_und stays True: the lazy-und variant re-derives the
+    # undirected distinct (a real 2x|edges|-row shuffle, not job latency)
+    # inside both the nbrs build and the final job — measured ~1.2 s SLOWER
+    # at 8c/3M than paying the checkpoint once (round-5 micro-bench)
     predicted = stage(
-        "predicted_links",
-        lambda: complete.adamic_adar(
-            edges, top_k, checkpoint_und=runner is not None
-        ),
+        "predicted_links", lambda: complete.adamic_adar(edges, top_k)
     )
     result = {
         "pages": pages,

@@ -70,11 +70,12 @@ def band_rows(surfaces: DataFrame, col: str = "surface",
         from esgkg import kernel
 
         for pdf in batches:
+            ss = [s for s in pdf[col] if s]
+            # batch-vectorized signatures (pytest-asserted byte-identical
+            # to the scalar kernel) — the banding hot path
+            sigs = kernel.minhash_signatures_batch(ss, k=k, ngram=ngram)
             rows = []
-            for s in pdf[col]:
-                if not s:
-                    continue
-                sig = kernel.minhash_signature(s, k=k, ngram=ngram)
+            for s, sig in zip(ss, sigs):
                 for bi, bh in enumerate(kernel.band_hashes(sig, bands)):
                     rows.append((s, bi, bh))
             yield pd.DataFrame(rows, columns=["surface", "band_id", "band_hash"])
@@ -349,10 +350,9 @@ def canonical_map_local(surfaces: list[str],
     from .. import kernel
 
     buckets: dict[tuple[int, int], list[str]] = defaultdict(list)
-    for s in surfaces:
-        if not s:
-            continue
-        sig = kernel.minhash_signature(s, k=k, ngram=ngram)
+    pool = [s for s in surfaces if s]
+    sigs = kernel.minhash_signatures_batch(pool, k=k, ngram=ngram)
+    for s, sig in zip(pool, sigs):
         for bi, bh in enumerate(kernel.band_hashes(sig, bands)):
             buckets[(bi, bh)].append(s)
     parent: dict[str, str] = {}

@@ -121,3 +121,34 @@ def test_org_regex_matches_variants():
             ex = kernel.get_extractor()
             m = ex.ent_re.search(s)
             assert m and m.group(0) == s, s
+
+
+def test_minhash_batch_equals_scalar():
+    """minhash_signatures_batch must be row-for-row byte-identical to the
+    scalar minhash_signature — same sorted-shingle order, same uint64
+    wrap-around affine transform — including empty/short/unicode edge
+    cases and across chunk boundaries."""
+    import numpy as np
+
+    from esgkg import kernel
+
+    strings = [
+        "", "a", "ab", "abc", "Mitsubishi Corporation",
+        "三菱商事株式会社", "  spaced  out  ", "aaaa", "abcabcabc",
+        "Mitsubishi  Corporation", "mitsubishi corporation",
+    ] + [f"synthetic surface {i} 株式会社" for i in range(50)]
+    batch = kernel.minhash_signatures_batch(strings, k=32, ngram=3)
+    assert batch.shape == (len(strings), 32) and batch.dtype == np.int64
+    for i, s in enumerate(strings):
+        scalar = kernel.minhash_signature(s, k=32, ngram=3)
+        assert np.array_equal(batch[i], scalar), s
+    # chunk boundary mid-batch must not change results
+    chunked = kernel.minhash_signatures_batch(
+        strings, k=32, ngram=3, max_grams_per_chunk=17
+    )
+    assert np.array_equal(chunked, batch)
+    # band hashes over batch rows equal band hashes over scalar sigs
+    for i, s in enumerate(strings):
+        assert kernel.band_hashes(batch[i], 16) == kernel.band_hashes(
+            kernel.minhash_signature(s), 16
+        )

@@ -357,3 +357,55 @@ def test_decode_image_real_bmp_and_png(spark):
     # unknown formats still fail loud
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"GIF89a....", fake=False)
+
+
+def test_decode_image_jpeg_dims_and_png_truncation(spark):
+    """JPEG gets a dimensions-only SOF parse (round-4 verdict item 4):
+    a hand-built minimal JPEG header yields (width, height, None); a
+    truncated PNG raises the ValueError contract instead of an IndexError
+    (round-4 advice)."""
+    import struct
+    import zlib
+
+    # minimal baseline JPEG marker stream: SOI, APP0 (JFIF), DQT (dummy),
+    # SOF0 with height=7 width=9, then SOS (scan data never reached)
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof0 = struct.pack(">BHHB", 8, 7, 9, 1) + bytes([1, 0x11, 0])
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes(65))
+        + seg(0xC0, sof0)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0x3F, 0]))
+        + b"\x00" * 8 + b"\xff\xd9"
+    )
+    assert multimodal.decode_image(jpeg, fake=False) == (9, 7, None)
+    # progressive SOF2 parses the same fixed layout
+    jpeg2 = jpeg.replace(bytes([0xFF, 0xC0]), bytes([0xFF, 0xC2]))
+    assert multimodal.decode_image(jpeg2, fake=False) == (9, 7, None)
+    # the Spark plumbing carries the NULL luma through the features schema
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(jpeg), {"codec": "jpeg"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media, fake=False).collect()[0]
+    assert (row.width, row.height, row.mean_luma) == (9, 7, None)
+    # failure contracts
+    with pytest.raises(ValueError, match="without SOF"):
+        multimodal.decode_image(b"\xff\xd8\xff\xd9", fake=False)
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xc0\xff\xff", fake=False)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # IHDR claims 2x2 but IDAT inflates to a single 2x1 scanline
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + bytes([100, 200]))
+    bad_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        multimodal.decode_image(bad_png, fake=False)
