@@ -276,9 +276,18 @@ def _q14_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esgkg.ops import multimodal
 
-    media = multimodal.synth_media(spark, 200)
-    feats = multimodal.extract_features(media, fake=True)
-    return feats.select(
+    # format-split table (round-4 verdict item 3): 200 opaque payloads
+    # through the deterministic fake decoder UNION 30 real BMP/PNG/JPEG
+    # payloads through the NATIVE decoders, so the externally-checked
+    # golden exercises the real decode paths (all five PNG filters, the
+    # JPEG dimensions-only parse with its NULL luma)
+    fake = multimodal.extract_features(
+        multimodal.synth_media(spark, 200), fake=True
+    )
+    real = multimodal.extract_features(
+        multimodal.synth_real_media(spark, 30), fake=False
+    )
+    return fake.unionByName(real).select(
         "media_id", "kind", "width", "height",
         F.round(F.col("mean_luma"), 6).alias("mean_luma"), "n_bytes",
     )

@@ -66,6 +66,124 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def synth_real_payload(i: int) -> tuple[bytes, str]:
+    """Deterministic REAL image payload #i — BMP / PNG / JPEG round-robin
+    (i % 3). Dimensions are (4 + i % 13) × (3 + i % 7); the pixel channel
+    value at (x, y) is (i*31 + y*17 + x*5 + c*11) % 256 for c = 0,1,2
+    (R,G,B) — a closed-form spec the golden oracle recomputes analytically,
+    so the committed golden independently checks the native decoders. PNG
+    rows cycle through all five scanline filters (y % 5), exercising every
+    decode branch; JPEG is a header-only marker stream (the dimensions-only
+    parse contract, mean_luma NULL)."""
+    import struct
+    import zlib
+
+    w, h = 4 + i % 13, 3 + i % 7
+
+    def px(x: int, y: int, c: int) -> int:
+        return (i * 31 + y * 17 + x * 5 + c * 11) % 256
+
+    fmt = i % 3
+    if fmt == 0:  # 24-bit BMP: bottom-up rows, BGR, 4-byte row stride
+        stride = (w * 3 + 3) // 4 * 4
+        data = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                row += bytes([px(x, y, 2), px(x, y, 1), px(x, y, 0)])
+            row += bytes(stride - len(row))
+            data += row
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + info + bytes(data)
+        ), "bmp"
+    if fmt == 1:  # 8-bit RGB PNG, filter type y % 5 per scanline
+        ch = 3
+        enc = bytearray()
+        prev = bytes(w * ch)
+        for y in range(h):
+            line = bytes(px(x, y, c) for x in range(w) for c in range(ch))
+            f = y % 5
+            enc.append(f)
+            for j in range(len(line)):
+                a = line[j - ch] if j >= ch else 0
+                up = prev[j]
+                ul = prev[j - ch] if j >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = up
+                elif f == 3:
+                    pred = (a + up) // 2
+                else:
+                    pp = a + up - ul
+                    pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - ul)
+                    pred = a if pa <= pb and pa <= pc else (
+                        up if pb <= pc else ul
+                    )
+                enc.append((line[j] - pred) & 0xFF)
+            prev = line
+
+        def chunk(typ: bytes, d: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(d)) + typ + d
+                + struct.pack(">I", zlib.crc32(typ + d) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(enc)))
+            + chunk(b"IEND", b"")
+        ), "png"
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2) + payload
+        )
+
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xC0, sof0) + seg(0xDA, bytes([1, 1, 0, 0, 0x3F, 0]))
+        + b"\xff\xd9"
+    ), "jpeg"
+
+
+def synth_real_media(spark: SparkSession, n: int,
+                     id_offset: int = 1000) -> DataFrame:
+    """Deterministic REAL-format media table (synth_real_payload BMP/PNG/
+    JPEG bytes) — the fake=False counterpart of `synth_media`, so
+    externally-checked artifacts exercise the native decoders, not just
+    the synthetic stand-in."""
+    _session.ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload, codec = synth_real_payload(i)
+                rows.append(
+                    (
+                        id_offset + i, "image", payload,
+                        {"codec": codec, "src": "real"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _decode_bmp(b: bytes) -> tuple[int, int, float]:
     """24-bit uncompressed BMP (BITMAPINFOHEADER) — pure stdlib + numpy."""
     import numpy as np

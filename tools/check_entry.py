@@ -40,6 +40,12 @@ def norm(v):
 
     if isinstance(v, decimal.Decimal):
         v = int(v) if v == v.to_integral_value() else float(v)
+    if v is None:
+        # SQL NULL: Spark collect() yields python None while a pandas
+        # float column (golden parquet, DuckDB .df()) yields NaN for the
+        # same NULL — normalize both to one token (q15's JPEG rows carry
+        # a NULL mean_luma by contract)
+        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

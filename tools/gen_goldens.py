@@ -137,7 +137,7 @@ def name_id(name: str) -> int:
 # fake decoder are themselves the spec (esgkg/ops/multimodal.py docstring);
 # recomputed here from that spec without Spark.
 # ---------------------------------------------------------------------------
-def gold_q15(n: int = 200, seed: int = 42) -> pd.DataFrame:
+def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
     rows = []
     for i in range(n):
         payload = hashlib.blake2b(
@@ -149,6 +149,29 @@ def gold_q15(n: int = 200, seed: int = 42) -> pd.DataFrame:
         ht = 64 + h[1] % 192
         luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
         rows.append((i, kind, w, ht, round(luma, 6), len(payload)))
+    # real-format rows: payload bytes come from the shared deterministic
+    # builder, but the expected features are recomputed ANALYTICALLY from
+    # its closed-form pixel spec (multimodal.synth_real_payload docstring)
+    # — the golden therefore independently checks the native BMP/PNG
+    # decoders and the JPEG dimensions-only parse, not just replays them
+    from esgkg.ops.multimodal import synth_real_payload
+
+    for i in range(n_real):
+        payload, codec = synth_real_payload(i)
+        w, ht = 4 + i % 13, 3 + i % 7
+        if codec == "jpeg":
+            luma = np.nan  # dimensions-only parse: luma needs entropy decode
+        else:
+            tot = 0.0
+            for y in range(ht):
+                for x in range(w):
+                    r, g, b = (
+                        (i * 31 + y * 17 + x * 5 + c * 11) % 256
+                        for c in (0, 1, 2)
+                    )
+                    tot += 0.299 * r + 0.587 * g + 0.114 * b
+            luma = round(tot / (w * ht) / 255.0, 6)
+        rows.append((1000 + i, "image", w, ht, luma, len(payload)))
     return pd.DataFrame(
         rows,
         columns=["media_id", "kind", "width", "height", "mean_luma", "n_bytes"],
