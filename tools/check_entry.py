@@ -16,6 +16,7 @@ import json
 import math
 import sys
 import time
+from datetime import datetime, timezone
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -196,6 +197,15 @@ def main():
             n_fail += 1
     out_path = REPO / "CORRECTNESS_local.json"
     if not only:
+        results["_meta"] = {
+            "generated_at": datetime.now(timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": n_rows_only,
+        }
         out_path.write_text(json.dumps(results, indent=2) + "\n")
         print(f"wrote {out_path}")
     print(f"SUMMARY pass={n_pass} fail={n_fail} rows_only={n_rows_only}")
