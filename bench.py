@@ -48,9 +48,10 @@ CORES_LO, CORES_HI = (
 # default was budget-INCONSISTENT: a 2-core run alone cost ~800 s, so the
 # 1800 s budget cut the driver's run to best-of-2 pairs on a host whose
 # identical runs vary 2-3x — the min-time estimator was starved of draws
-# (round-4 verdict item 1). 3M fits 3 full interleaved lo/hi pairs inside
-# the default budget (~400 s lo + ~110 s hi per pair in calm windows), so
-# the DEFAULT configuration now completes the full protocol.
+# (round-4 verdict item 1). 3M fits 4 full interleaved lo/hi pairs inside
+# the default 3600 s budget (~400 s lo + ~110 s hi per pair in calm
+# windows) and ≥3 pairs even when runs cost 2x calm, so the DEFAULT
+# configuration now completes the full protocol in any window.
 PAGES = int(
     os.environ.get(
         "ESGKG_BENCH_PAGES",
@@ -166,11 +167,14 @@ def main() -> None:
     # level across REPEATS interleaved lo/hi runs (min-time estimator), with
     # a raw-CPU calibration bracketing the window; every raw run is reported
     # in the JSON so the estimate is auditable.
-    # 3 repeats per level (round-4): the min-time estimator needs more draws
-    # on a host whose identical runs vary 2-3x — the round-3 driver run drew
-    # an unluckily-fast lo pair and read 0.75 where the builder's identical
-    # protocol read 0.87
-    repeats = int(os.environ.get("ESGKG_BENCH_REPEATS", "3"))
+    # 4 repeats per level (round 5; rounds 3-4 used 3): the min-time
+    # estimator needs draws on a host whose identical runs vary 2-3x, and
+    # the ≥0.8 gate is one-sided — estimator variance only ever costs a
+    # false fail. Four interleaved pairs fit the default budget with margin
+    # in calm windows (~510 s/pair at 3M pages); in busy windows the budget
+    # check below skips whole pairs, so the worst case degrades gracefully
+    # to best-of-3 or best-of-2 rather than overrunning
+    repeats = int(os.environ.get("ESGKG_BENCH_REPEATS", "4"))
     # EQUAL repeats per level: under identical additive noise an asymmetric
     # best-of (round 2 ran best-of-2 lo vs best-of-3 hi) draws more samples
     # at hi and systematically biases the min-time speedup upward — the
@@ -183,8 +187,13 @@ def main() -> None:
     # the current interleaved pair instead of overrunning the caller's
     # timeout (each level always keeps ≥1 completed run; symmetric — a
     # pair is either fully run or fully skipped, so the estimator stays
-    # unbiased)
-    budget = float(os.environ.get("ESGKG_BENCH_BUDGET_SEC", "1800"))
+    # unbiased). 3600 s (round 5; rounds 1-4 used 1800): at 3M pages a calm
+    # pair costs ~510 s so the old budget already fit 3 pairs, but a busy
+    # window (runs 2x calm) cut the round-4 driver run to best-of-2 — the
+    # exact starvation the round-4 verdict flagged. 3600 guarantees ≥3
+    # full pairs even at 2x-calm run times; calm windows still finish all
+    # 4 pairs in ~2300 s and stop there
+    budget = float(os.environ.get("ESGKG_BENCH_BUDGET_SEC", "3600"))
     t_start = time.time()
     hw_samples = [raw_cpu_sample(CORES_LO, CORES_HI) for _ in range(2)]
     kc_samples = [kernel_cpu_sample(CORES_LO, CORES_HI)]
