@@ -277,10 +277,11 @@ def _q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esgkg.ops import multimodal
 
     # format-split table (round-4 verdict item 3): 200 opaque payloads
-    # through the deterministic fake decoder UNION 30 real BMP/PNG/JPEG
-    # payloads through the NATIVE decoders, so the externally-checked
-    # golden exercises the real decode paths (all five PNG filters, the
-    # JPEG dimensions-only parse with its NULL luma)
+    # through the deterministic fake decoder UNION 30 real BMP/PNG/JPEG/
+    # GIF/WebP payloads through the NATIVE decoders, so the externally-
+    # checked golden exercises the real decode paths (all five PNG
+    # filters, GIF LZW + palette, the JPEG/WebP dimensions-only parses
+    # with their NULL luma)
     fake = multimodal.extract_features(
         multimodal.synth_media(spark, 200), fake=True
     )

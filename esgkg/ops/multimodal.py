@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
 
-`decode_image` natively decodes 24-bit BMP and 8-bit non-interlaced PNG
-(pure stdlib+numpy) and parses JPEG dimensions from the SOF header; formats
-beyond that raise NotImplementedError (no image/audio libraries in this
-container), and `fake=True` selects a deterministic synthetic decoder for
-opaque test payloads. Everything Spark-side — schema, partitioning, UDF
+`decode_image` natively decodes 24-bit BMP, 8-bit non-interlaced PNG, and
+GIF (stdlib LZW + palette, first frame) — pure stdlib+numpy — and parses
+dimensions from the JPEG SOF header and the WebP VP8/VP8L/VP8X chunk
+headers; formats beyond that raise NotImplementedError (no image/audio
+libraries in this container), and `fake=True` selects a deterministic
+synthetic decoder for opaque test payloads. Everything Spark-side — schema, partitioning, UDF
 signature, Arrow batch shape — is real and tested; swapping in PIL/librosa
 is a one-function change.
 """
@@ -67,14 +68,16 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def synth_real_payload(i: int) -> tuple[bytes, str]:
-    """Deterministic REAL image payload #i — BMP / PNG / JPEG round-robin
-    (i % 3). Dimensions are (4 + i % 13) × (3 + i % 7); the pixel channel
-    value at (x, y) is (i*31 + y*17 + x*5 + c*11) % 256 for c = 0,1,2
-    (R,G,B) — a closed-form spec the golden oracle recomputes analytically,
-    so the committed golden independently checks the native decoders. PNG
-    rows cycle through all five scanline filters (y % 5), exercising every
-    decode branch; JPEG is a header-only marker stream (the dimensions-only
-    parse contract, mean_luma NULL)."""
+    """Deterministic REAL image payload #i — BMP / PNG / JPEG / GIF / WebP
+    round-robin (i % 5). Dimensions are (4 + i % 13) × (3 + i % 7); the
+    pixel channel value at (x, y) is (i*31 + y*17 + x*5 + c*11) % 256 for
+    c = 0,1,2 (R,G,B) — a closed-form spec the golden oracle recomputes
+    analytically, so the committed golden independently checks the native
+    decoders. PNG rows cycle through all five scanline filters (y % 5),
+    exercising every decode branch; GIF uses a 256-level grayscale palette
+    with pixel index = the c=0 channel value, LZW-coded as a spec-valid
+    clear-per-code stream; JPEG is a header-only marker stream and WebP a
+    VP8L header (the dimensions-only parse contract, mean_luma NULL)."""
     import struct
     import zlib
 
@@ -83,7 +86,7 @@ def synth_real_payload(i: int) -> tuple[bytes, str]:
     def px(x: int, y: int, c: int) -> int:
         return (i * 31 + y * 17 + x * 5 + c * 11) % 256
 
-    fmt = i % 3
+    fmt = i % 5
     if fmt == 0:  # 24-bit BMP: bottom-up rows, BGR, 4-byte row stride
         stride = (w * 3 + 3) // 4 * 4
         data = bytearray()
@@ -142,19 +145,58 @@ def synth_real_payload(i: int) -> tuple[bytes, str]:
             + chunk(b"IEND", b"")
         ), "png"
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return (
-            bytes([0xFF, marker])
-            + struct.pack(">H", len(payload) + 2) + payload
-        )
+    if fmt == 2:  # JPEG: header-only marker stream (dimensions-only parse)
+        def seg(marker: int, payload: bytes) -> bytes:
+            return (
+                bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload
+            )
 
-    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        return (
+            b"\xff\xd8"
+            + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            + seg(0xC0, sof0) + seg(0xDA, bytes([1, 1, 0, 0, 0x3F, 0]))
+            + b"\xff\xd9"
+        ), "jpeg"
+    if fmt == 3:  # GIF: 256-gray palette, clear-per-code LZW (spec-valid,
+        # needs no encoder table; width stays min_code_size+1 = 9 bits)
+        clear, eoi = 256, 257
+        codes: list[int] = []
+        for y in range(h):
+            for x in range(w):
+                codes += [clear, px(x, y, 0)]
+        codes.append(eoi)
+        acc = nbits = 0
+        packed = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                packed.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            packed.append(acc & 0xFF)
+        data = bytearray()
+        for j in range(0, len(packed), 255):
+            blk = packed[j : j + 255]
+            data += bytes([len(blk)]) + blk
+        data += b"\x00"
+        gct = bytes(v for j in range(256) for v in (j, j, j))
+        return (
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+            + gct
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([8]) + bytes(data) + b"\x3b"
+        ), "gif"
+    # WebP: VP8L header only (dimensions-only parse contract)
+    bits = (w - 1) | ((h - 1) << 14)
+    payload = bytes([0x2F]) + struct.pack("<I", bits) + bytes(3)
     return (
-        b"\xff\xd8"
-        + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + seg(0xC0, sof0) + seg(0xDA, bytes([1, 1, 0, 0, 0x3F, 0]))
-        + b"\xff\xd9"
-    ), "jpeg"
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(payload)) + payload
+    ), "webp"
 
 
 def synth_real_media(spark: SparkSession, n: int,
@@ -337,15 +379,171 @@ def _parse_jpeg_dims(b: bytes) -> tuple[int, int, None]:
     raise ValueError("JPEG without SOF frame header")
 
 
+def _decode_gif(b: bytes) -> tuple[int, int, float]:
+    """GIF87a/GIF89a full native decode of the FIRST image frame — pure
+    stdlib LZW + palette lookup. Returns the logical-screen dimensions and
+    the mean luma of the first frame's pixels (order-independent, so
+    interlaced frames need no deinterlace pass; later frames of an
+    animation are ignored by contract)."""
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(b[6:8], "little")
+    height = int.from_bytes(b[8:10], "little")
+    if width == 0 or height == 0:
+        raise ValueError("GIF with zero logical-screen dimension")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        n = 3 * (2 << (flags & 0x07))
+        gct = np.frombuffer(b[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
+        pos += n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        out = bytearray()
+        while True:
+            if p >= len(b):
+                raise ValueError("truncated GIF sub-blocks")
+            sz = b[p]
+            p += 1
+            if sz == 0:
+                return bytes(out), p
+            if p + sz > len(b):
+                raise ValueError("truncated GIF sub-blocks")
+            out += b[p : p + sz]
+            p += sz
+
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            _, pos = sub_blocks(pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor: left, top, w, h (u16 LE each), flags
+        iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        iflags = b[pos + 9]
+        pos += 10
+        table = gct
+        if iflags & 0x80:  # local color table overrides
+            n = 3 * (2 << (iflags & 0x07))
+            table = np.frombuffer(
+                b[pos : pos + n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = b[pos]
+        data, pos = sub_blocks(pos + 1)
+        indices = _lzw_decode(data, min_code, iw * ih)
+        idx = np.array(indices, dtype=np.int64)
+        if idx.size == 0 or idx.max() >= len(table):
+            raise ValueError("GIF palette index out of range")
+        rgb = table[idx].astype(np.float64)
+        luma = 0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+        return width, height, float(luma.mean() / 255.0)
+    raise ValueError("GIF without an image frame")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list:
+    """GIF-variant LZW: variable-width codes LSB-first, clear/EOI codes,
+    code width grows after the table fills until the 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list:
+        return [[i] for i in range(clear)] + [None, None]
+
+    table = fresh()
+    code_size = min_code_size + 1
+    out: list = []
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = fresh()
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("corrupt GIF LZW stream")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out.extend(entry)
+            if len(out) >= max_pixels:
+                return out[:max_pixels]
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _parse_webp_dims(b: bytes) -> tuple[int, int, None]:
+    """WebP dimensions from the first chunk of the RIFF container — covers
+    all three container layouts: VP8 (lossy: 14-bit w/h after the 3-byte
+    frame start code), VP8L (lossless: 14-bit-1 w/h bit-packed after the
+    0x2F signature), VP8X (extended: 24-bit-1 canvas w/h). mean_luma is
+    None by contract — pixels are VP8-entropy/lossless-coded."""
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    fourcc = b[12:16]
+    payload = b[20:]
+    if fourcc == b"VP8 ":
+        # key-frame header: 3-byte frame tag, start code 9D 01 2A, then
+        # two little-endian u16 whose low 14 bits are width/height
+        if len(payload) < 10 or payload[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("truncated or non-keyframe VP8 payload")
+        width = int.from_bytes(payload[6:8], "little") & 0x3FFF
+        height = int.from_bytes(payload[8:10], "little") & 0x3FFF
+    elif fourcc == b"VP8L":
+        if len(payload) < 5 or payload[0] != 0x2F:
+            raise ValueError("truncated VP8L payload")
+        bits = int.from_bytes(payload[1:5], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+    elif fourcc == b"VP8X":
+        if len(payload) < 10:
+            raise ValueError("truncated VP8X payload")
+        width = int.from_bytes(payload[4:7], "little") + 1
+        height = int.from_bytes(payload[7:10], "little") + 1
+    else:
+        raise ValueError("unknown WebP chunk " + repr(fourcc))
+    if width == 0 or height == 0:
+        raise ValueError("WebP with zero dimension")
+    return width, height, None
+
+
 def decode_image(payload: bytes,
                  fake: bool = False) -> tuple[int, int, float | None]:
     """(width, height, mean_luma). Real decode natively covers 24-bit
-    uncompressed BMP and 8-bit gray/RGB/RGBA non-interlaced PNG (pure
-    stdlib+numpy — no imaging library in this container); JPEG gets a
-    dimensions-only SOF parse (mean_luma=None — documented boundary: luma
-    needs entropy decode). Other formats raise NotImplementedError.
-    `fake=True` keeps the deterministic synthetic decoder for opaque test
-    payloads (q15's golden path)."""
+    uncompressed BMP, 8-bit gray/RGB/RGBA non-interlaced PNG, and GIF
+    (LZW + palette, first frame) — pure stdlib+numpy, no imaging library
+    in this container; JPEG and WebP get dimensions-only header parses
+    (mean_luma=None — documented boundary: luma needs entropy/VP8
+    decode). Other formats raise NotImplementedError. `fake=True` keeps
+    the deterministic synthetic decoder for opaque test payloads (q15's
+    golden path)."""
     if fake:
         h = hashlib.blake2b(payload or b"", digest_size=8).digest()
         w = 64 + h[0] % 192
@@ -358,11 +556,15 @@ def decode_image(payload: bytes,
         return _decode_png(payload)
     if payload and payload[:2] == b"\xff\xd8":
         return _parse_jpeg_dims(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _parse_webp_dims(payload)
     raise NotImplementedError(
-        "native coverage: BMP (24-bit uncompressed) and PNG (8-bit, "
-        "non-interlaced) full decode, JPEG dimensions-only; full JPEG/"
-        "other-format decode needs PIL/opencv (not installed) — pass "
-        "fake=True for the deterministic stand-in"
+        "native coverage: BMP (24-bit uncompressed), PNG (8-bit, "
+        "non-interlaced), and GIF (first frame) full decode; JPEG/WebP "
+        "dimensions-only; full decode of those needs PIL/opencv (not "
+        "installed) — pass fake=True for the deterministic stand-in"
     )
 
 

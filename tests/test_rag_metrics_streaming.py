@@ -354,9 +354,9 @@ def test_decode_image_real_bmp_and_png(spark):
     assert (got[1].width, got[1].height) == (2, 2)
     assert abs(got[1].mean_luma - 0.5) < 1e-9
     assert (got[2].width, got[2].height) == (2, 1)
-    # unknown formats still fail loud
+    # unknown formats still fail loud (TIFF magic has no native parse)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a....", fake=False)
+        multimodal.decode_image(b"II*\x00" + bytes(16), fake=False)
 
 
 def test_decode_image_jpeg_dims_and_png_truncation(spark):
@@ -409,3 +409,125 @@ def test_decode_image_jpeg_dims_and_png_truncation(spark):
                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="truncated PNG"):
         multimodal.decode_image(bad_png, fake=False)
+
+
+def _encode_gif(pixels, w, h, palette, min_code_size=2,
+                extension=False):
+    """Minimal reference GIF89a encoder for decoder tests: real LZW with
+    table growth, packed LSB-first, global color table."""
+    import struct
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    run = ()
+    for p in pixels:
+        cand = run + (p,)
+        if cand in table:
+            run = cand
+        else:
+            codes.append(table[run])
+            table[cand] = next_code
+            next_code += 1
+            if next_code > 4095:
+                codes.append(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+            run = (p,)
+    if run:
+        codes.append(table[run])
+    codes.append(eoi)
+    # pack codes LSB-first with the same width schedule the decoder uses
+    acc = nbits = 0
+    out = bytearray()
+    code_size = min_code_size + 1
+    n_entries = eoi + 1
+    for c in codes:
+        acc |= c << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            n_entries, code_size = eoi + 1, min_code_size + 1
+        elif c != eoi:
+            # encoder's table runs one entry ahead of the decoder's, so
+            # the width bump lags one code behind the decoder's rule
+            n_entries += 1
+            if n_entries == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+    if nbits:
+        out.append(acc & 0xFF)
+    data = bytearray()
+    for i in range(0, len(out), 255):
+        blk = out[i : i + 255]
+        data += bytes([len(blk)]) + blk
+    data += b"\x00"
+    gct_bits = max(1, (len(palette) - 1).bit_length()) - 1
+    gct = bytearray()
+    for rgb in palette:
+        gct += bytes(rgb)
+    gct += bytes(3 * ((2 << gct_bits) - len(palette)))
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00" if extension else b""
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+        + bytes(gct) + ext
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size]) + bytes(data) + b"\x3b"
+    )
+
+
+def test_decode_image_gif_and_webp():
+    """GIF gets a full native decode (stdlib LZW + palette): a hand-built
+    2-color GIF yields the exact mean luma, and a larger image exercises
+    LZW table growth and a graphic-control extension. WebP gets
+    dimensions-only parses for all three container layouts (lossy VP8,
+    lossless VP8L, extended VP8X)."""
+    import struct
+
+    # 2x2 black/white checker -> mean luma exactly 0.5
+    gif = _encode_gif([0, 1, 1, 0], 2, 2,
+                      [(0, 0, 0), (255, 255, 255)])
+    w, h, luma = multimodal.decode_image(gif, fake=False)
+    assert (w, h) == (2, 2)
+    assert abs(luma - 0.5) < 1e-9
+    # 40x30 4-color gradient with an extension block: LZW codes grow past
+    # the initial width; luma matches the analytic palette mean
+    pal = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    px = [(x + y) % 4 for y in range(30) for x in range(40)]
+    gif2 = _encode_gif(px, 40, 30, pal, extension=True)
+    w, h, luma = multimodal.decode_image(gif2, fake=False)
+    expect = sum(pal[p][0] for p in px) / len(px) / 255.0
+    assert (w, h) == (40, 30)
+    assert abs(luma - expect) < 1e-9
+    with pytest.raises(ValueError, match="zero logical-screen"):
+        multimodal.decode_image(
+            b"GIF87a" + struct.pack("<HH", 0, 5) + bytes(6), fake=False
+        )
+    with pytest.raises(ValueError, match="truncated GIF"):
+        # cut inside the first 255-byte LZW data sub-block
+        multimodal.decode_image(gif2[:60], fake=False)
+
+    def riff(fourcc, payload):
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
+                + fourcc + struct.pack("<I", len(payload)) + payload)
+
+    # VP8 lossy: 3-byte frame tag, start code, then 14-bit w/h u16 pair
+    vp8 = riff(b"VP8 ", bytes(3) + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 160, 120) + bytes(4))
+    assert multimodal.decode_image(vp8, fake=False) == (160, 120, None)
+    # VP8L lossless: 0x2F signature then 14-bit (w-1, h-1) bit-packed
+    bits = (160 - 1) | ((120 - 1) << 14)
+    vp8l = riff(b"VP8L", bytes([0x2F]) + struct.pack("<I", bits) + bytes(4))
+    assert multimodal.decode_image(vp8l, fake=False) == (160, 120, None)
+    # VP8X extended: 4 flag bytes then 24-bit (w-1, h-1)
+    vp8x = riff(b"VP8X", bytes(4)
+                + (160 - 1).to_bytes(3, "little")
+                + (120 - 1).to_bytes(3, "little"))
+    assert multimodal.decode_image(vp8x, fake=False) == (160, 120, None)
+    with pytest.raises(ValueError, match="non-keyframe VP8"):
+        multimodal.decode_image(riff(b"VP8 ", bytes(10)), fake=False)
+    with pytest.raises(ValueError, match="unknown WebP chunk"):
+        multimodal.decode_image(riff(b"ANMF", bytes(10)), fake=False)

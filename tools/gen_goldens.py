@@ -152,15 +152,24 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
     # real-format rows: payload bytes come from the shared deterministic
     # builder, but the expected features are recomputed ANALYTICALLY from
     # its closed-form pixel spec (multimodal.synth_real_payload docstring)
-    # — the golden therefore independently checks the native BMP/PNG
-    # decoders and the JPEG dimensions-only parse, not just replays them
+    # — the golden therefore independently checks the native BMP/PNG/GIF
+    # decoders and the JPEG/WebP dimensions-only parses, not just replays
+    # them
     from esgkg.ops.multimodal import synth_real_payload
 
     for i in range(n_real):
         payload, codec = synth_real_payload(i)
         w, ht = 4 + i % 13, 3 + i % 7
-        if codec == "jpeg":
-            luma = np.nan  # dimensions-only parse: luma needs entropy decode
+        if codec in ("jpeg", "webp"):
+            luma = np.nan  # dimensions-only parse: luma needs a full decode
+        elif codec == "gif":
+            # 256-gray palette indexed by the c=0 channel value: luma of
+            # gray (j, j, j) is exactly j under the BT.601 weights
+            tot = sum(
+                (i * 31 + y * 17 + x * 5) % 256
+                for y in range(ht) for x in range(w)
+            )
+            luma = round(tot / (w * ht) / 255.0, 6)
         else:
             tot = 0.0
             for y in range(ht):
