@@ -294,6 +294,27 @@ def _q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q33_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esgkg.ops import multimodal
+
+    # audio counterpart of q15's format split: the opaque audio rows of
+    # the synthetic media table through the deterministic fake decoder
+    # UNION 30 real WAV/MP3 payloads through the NATIVE decoders (full
+    # 8/16-bit PCM decode; MP3 parameters-only with NULL duration/rms)
+    fake = multimodal.extract_audio_features(
+        multimodal.synth_media(spark, 200).filter(F.col("kind") == "audio"),
+        fake=True,
+    )
+    real = multimodal.extract_audio_features(
+        multimodal.synth_real_audio(spark, 30), fake=False
+    )
+    return fake.unionByName(real).select(
+        "media_id", "kind", "sample_rate", "n_channels",
+        F.round(F.col("duration_sec"), 6).alias("duration_sec"),
+        F.round(F.col("rms"), 6).alias("rms"), "n_bytes",
+    )
+
+
 def _q16_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esgkg.stages import corpus, nlp
 
@@ -682,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_domain_coverage": _q30_domain_coverage,
         "q31_evaluation_harness": _q31_evaluation_harness,
         "q32_embedding_similarity_pairs": _q32_embedding_similarity_pairs,
+        "q33_audio_features": _q33_audio_features,
     }
 
 

@@ -568,6 +568,224 @@ def decode_image(payload: bytes,
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, float, float]:
+    """RIFF/WAVE PCM full native decode — 8-bit unsigned and 16-bit signed
+    PCM, any channel count. Returns (sample_rate, n_channels, duration_sec,
+    rms) with rms over samples normalized to [-1, 1]."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunks")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            "native WAV decode covers 8/16-bit PCM only"
+        )
+    if n_channels == 0 or sample_rate == 0:
+        raise ValueError("WAV with zero channels or sample rate")
+    if bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        usable = len(data) // 2 * 2
+        samples = (
+            np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+            / 32768.0
+        )
+    n_frames = samples.size // n_channels
+    if n_frames == 0:
+        raise ValueError("WAV with no sample frames")
+    rms = float(np.sqrt(np.mean(samples[: n_frames * n_channels] ** 2)))
+    return sample_rate, n_channels, n_frames / sample_rate, rms
+
+
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def _parse_mp3_header(b: bytes) -> tuple[int, int, None, None]:
+    """MP3 stream parameters from the first frame header — a sync-word
+    scan past any ID3v2 tag, no audio decode. duration/rms are None by
+    contract: they need the full frame walk + MDCT synthesis a real
+    decoder provides."""
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = 0
+        for byte in b[6:10]:  # syncsafe big-endian
+            size = (size << 7) | (byte & 0x7F)
+        pos = 10 + size
+    while pos + 4 <= len(b):
+        if b[pos] == 0xFF and b[pos + 1] & 0xE0 == 0xE0:
+            version = (b[pos + 1] >> 3) & 0x03
+            layer = (b[pos + 1] >> 1) & 0x03
+            rate_idx = (b[pos + 2] >> 2) & 0x03
+            if version == 1 or layer == 0 or rate_idx == 3:
+                pos += 1
+                continue  # reserved fields: false sync, keep scanning
+            sample_rate = _MP3_RATES[version][rate_idx]
+            n_channels = 1 if (b[pos + 3] >> 6) & 0x03 == 3 else 2
+            return sample_rate, n_channels, None, None
+        pos += 1
+    raise ValueError("MP3 without a valid frame header")
+
+
+def decode_audio(payload: bytes,
+                 fake: bool = False) -> tuple[int, int,
+                                              float | None, float | None]:
+    """(sample_rate, n_channels, duration_sec, rms). Real decode natively
+    covers RIFF/WAVE 8/16-bit PCM (pure stdlib+numpy); MP3 gets a
+    parameters-only frame-header parse (duration/rms None — documented
+    boundary: they need a real decoder). Other formats raise
+    NotImplementedError. `fake=True` keeps a deterministic synthetic
+    decoder for opaque test payloads (mirrors `decode_image`)."""
+    if fake:
+        h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        return (
+            8000 + h[0] * 100,
+            1 + h[1] % 2,
+            (1 + h[2] % 30) / 10.0,
+            h[3] / 255.0,
+        )
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if payload and (
+        payload[:3] == b"ID3"
+        or (len(payload) >= 2 and payload[0] == 0xFF
+            and payload[1] & 0xE0 == 0xE0)
+    ):
+        return _parse_mp3_header(payload)
+    raise NotImplementedError(
+        "native coverage: WAV (8/16-bit PCM) full decode; MP3 "
+        "parameters-only; other audio formats need librosa/ffmpeg (not "
+        "installed) — pass fake=True for the deterministic stand-in"
+    )
+
+
+def synth_real_audio_payload(i: int) -> tuple[bytes, str]:
+    """Deterministic REAL audio payload #i — 16-bit WAV / 8-bit WAV / MP3
+    header round-robin (i % 3). sample_rate is (8000, 16000, 22050,
+    44100)[i % 4], channels 1 + i % 2, frames 50 + i % 30; the sample
+    value at frame t, channel c is a closed-form spec the golden oracle
+    recomputes analytically: 16-bit s = ((i*37 + t*13 + c*7) % 4096) -
+    2048, 8-bit byte v = (i*37 + t*13 + c*7) % 256. MP3 payloads are a
+    single hand-built frame header (parameters-only parse contract)."""
+    import struct
+
+    rate = (8000, 16000, 22050, 44100)[i % 4]
+    ch = 1 + i % 2
+    frames = 50 + i % 30
+    fmt = i % 3
+
+    def wav(data: bytes, bits: int) -> bytes:
+        block = ch * bits // 8
+        fmt_body = struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * block, block, bits
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    if fmt == 0:  # 16-bit PCM
+        data = b"".join(
+            struct.pack("<h", ((i * 37 + t * 13 + c * 7) % 4096) - 2048)
+            for t in range(frames) for c in range(ch)
+        )
+        return wav(data, 16), "wav"
+    if fmt == 1:  # 8-bit unsigned PCM
+        data = bytes(
+            (i * 37 + t * 13 + c * 7) % 256
+            for t in range(frames) for c in range(ch)
+        )
+        return wav(data, 8), "wav"
+    # MP3: MPEG1 Layer III frame header, 44.1 kHz, mono for odd i
+    hdr = bytes([0xFF, 0xFB, 0x90, 0xC0 if ch == 1 else 0x00])
+    return hdr + bytes(32), "mp3"
+
+
+def synth_real_audio(spark: SparkSession, n: int,
+                     id_offset: int = 2000) -> DataFrame:
+    """Deterministic REAL-format audio table (synth_real_audio_payload
+    WAV/MP3 bytes) — the audio counterpart of `synth_real_media`."""
+    _session.ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload, codec = synth_real_audio_payload(i)
+                rows.append(
+                    (
+                        id_offset + i, "audio", payload,
+                        {"codec": codec, "src": "real"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame,
+                           fake: bool = True) -> DataFrame:
+    """media → per-item decoded audio features (Arrow-batched mapInPandas;
+    same batch shape as `extract_features`)."""
+    _session.ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                rate, ch, dur, rms = decode_audio(b, fake=fake)
+                rows.append((int(mid), kind, rate, ch, dur, rms, len(b)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media → per-item decoded features (Arrow-batched; decode stubbed)."""
     _session.ensure_shipped(media.sparkSession)

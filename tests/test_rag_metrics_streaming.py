@@ -510,6 +510,67 @@ def test_decode_image_gif_and_webp():
         # cut inside the first 255-byte LZW data sub-block
         multimodal.decode_image(gif2[:60], fake=False)
 
+
+def test_decode_audio_wav_and_mp3(spark):
+    """WAV gets a full native decode (8/16-bit PCM): hand-built payloads
+    yield exact (sample_rate, n_channels, duration, rms). MP3 gets a
+    parameters-only frame-header parse (NULL duration/rms), including an
+    ID3v2-tagged stream. The Spark audio-features path carries both."""
+    import math
+    import struct
+
+    def wav(data, bits, ch, rate):
+        block = ch * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 16-bit mono at 8 kHz: samples ±16384 -> rms exactly 0.5
+    data16 = struct.pack("<4h", 16384, -16384, 16384, -16384)
+    rate, ch, dur, rms = multimodal.decode_audio(
+        wav(data16, 16, 1, 8000), fake=False)
+    assert (rate, ch) == (8000, 1)
+    assert abs(dur - 4 / 8000) < 1e-12 and abs(rms - 0.5) < 1e-12
+    # 8-bit stereo: bytes 192/64 are ±64 around the 128 bias -> rms 0.5
+    rate, ch, dur, rms = multimodal.decode_audio(
+        wav(bytes([192, 64, 192, 64]), 8, 2, 44100), fake=False)
+    assert (rate, ch) == (44100, 2)
+    assert abs(dur - 2 / 44100) < 1e-12 and abs(rms - 0.5) < 1e-12
+
+    # MP3: MPEG1 Layer III 44.1 kHz stereo header behind an ID3v2 tag
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    mp3 = id3 + bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(16)
+    assert multimodal.decode_audio(mp3, fake=False) == (44100, 2, None, None)
+    # joint-stereo/mono channel-mode bit
+    mono = bytes([0xFF, 0xFB, 0x90, 0xC0]) + bytes(16)
+    assert multimodal.decode_audio(mono, fake=False) == (44100, 1, None, None)
+
+    # failure contracts
+    with pytest.raises(ValueError, match="WAV without fmt"):
+        multimodal.decode_audio(b"RIFF\x04\x00\x00\x00WAVE", fake=False)
+    with pytest.raises(NotImplementedError, match="8/16-bit PCM"):
+        bad = wav(bytes(8), 32, 1, 8000)
+        multimodal.decode_audio(bad, fake=False)
+    with pytest.raises(ValueError, match="valid frame header"):
+        multimodal.decode_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00", fake=False)
+    with pytest.raises(NotImplementedError, match="native coverage"):
+        multimodal.decode_audio(b"OggS" + bytes(16), fake=False)
+
+    # Spark plumbing: real WAV + MP3 rows end-to-end with NULL pass-through
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(wav(data16, 16, 1, 8000)), {"codec": "wav"}),
+         (2, "audio", bytearray(mp3), {"codec": "mp3"})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in
+           multimodal.extract_audio_features(media, fake=False).collect()}
+    assert (got[1].sample_rate, got[1].n_channels) == (8000, 1)
+    assert abs(got[1].rms - 0.5) < 1e-9
+    assert (got[2].sample_rate, got[2].duration_sec, got[2].rms) == (
+        44100, None, None)
+    assert not math.isnan(got[1].duration_sec)
+
     def riff(fourcc, payload):
         return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
                 + fourcc + struct.pack("<I", len(payload)) + payload)

@@ -1,6 +1,6 @@
 """Regenerate tests/golden/*.parquet — committed expected outputs for the
-six queries the DuckDB oracle cannot express (q15-q20, `no_oracle` in the
-driver's correctness report). Each golden is computed by a SINGLE-NODE
+queries the DuckDB oracle cannot express (q15-q20, q31, q33 — `no_oracle`
+in the driver's correctness report). Each golden is computed by a SINGLE-NODE
 oracle (plain python / numpy / pandas — no Spark): the sequential
 reference-pipeline semantics of esgkg/oracle.py extended with the linking,
 canonicalization, graph and similarity steps those queries cover. The
@@ -493,8 +493,75 @@ def gold_q31(n_pages: int = 300, n_cases: int = 3) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q33 — audio features: fake rows recomputed from the synthetic-decoder
+# spec; real rows recomputed ANALYTICALLY from synth_real_audio_payload's
+# closed-form sample spec, independently checking the native WAV decoder
+# and the MP3 parameters-only parse.
+# ---------------------------------------------------------------------------
+def _round6_half_up(v: float) -> float:
+    """Spark's F.round(col, 6): HALF_UP on the double's shortest decimal
+    repr (Python's round() is round-half-even and diverges on exact
+    .xxxxxx5 values like 51/16000)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(
+        Decimal("1e-6"), rounding=ROUND_HALF_UP
+    ))
+
+
+def gold_q33(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        if i % 3 != 1:  # synth_media kind rotation: only audio rows
+            continue
+        payload = hashlib.blake2b(
+            f"{seed}:{i}".encode(), digest_size=32
+        ).digest() * (4 + i % 7)
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rows.append(
+            (
+                i, "audio", 8000 + h[0] * 100, 1 + h[1] % 2,
+                _round6_half_up((1 + h[2] % 30) / 10.0),
+                _round6_half_up(h[3] / 255.0),
+                len(payload),
+            )
+        )
+    from esgkg.ops.multimodal import synth_real_audio_payload
+
+    for i in range(n_real):
+        payload, codec = synth_real_audio_payload(i)
+        ch = 1 + i % 2
+        frames = 50 + i % 30
+        if codec == "mp3":
+            # the hand-built frame header is always MPEG1 44.1 kHz; the
+            # parameters-only parse leaves duration/rms NULL
+            rows.append((2000 + i, "audio", 44100, ch,
+                         np.nan, np.nan, len(payload)))
+            continue
+        rate = (8000, 16000, 22050, 44100)[i % 4]
+        tot = 0.0
+        for t in range(frames):
+            for c in range(ch):
+                if i % 3 == 0:  # 16-bit signed
+                    s = (((i * 37 + t * 13 + c * 7) % 4096) - 2048) / 32768.0
+                else:           # 8-bit unsigned
+                    s = ((i * 37 + t * 13 + c * 7) % 256 - 128) / 128.0
+                tot += s * s
+        rms = (tot / (frames * ch)) ** 0.5
+        rows.append((2000 + i, "audio", rate, ch,
+                     _round6_half_up(frames / rate),
+                     _round6_half_up(rms), len(payload)))
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "sample_rate", "n_channels",
+                 "duration_sec", "rms", "n_bytes"],
+    )
+
+
 GOLDENS = {
     "q15_media_features": gold_q15,
+    "q33_audio_features": gold_q33,
     "q16_triples_by_pred": gold_q16,
     "q17_canonical_triples": gold_q17,
     "q18_predicted_links": gold_q18,
