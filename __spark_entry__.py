@@ -315,6 +315,26 @@ def _q33_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q34_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esgkg.ops import multimodal
+
+    # video counterpart of q15/q33: the opaque video rows of the synthetic
+    # media table through the deterministic fake parser UNION 30 real MP4
+    # payloads through the NATIVE ISO-BMFF box walk (mvhd duration, tkhd
+    # dimensions, both layout versions; audio-only files carry NULL dims)
+    fake = multimodal.extract_video_features(
+        multimodal.synth_media(spark, 200).filter(F.col("kind") == "video"),
+        fake=True,
+    )
+    real = multimodal.extract_video_features(
+        multimodal.synth_real_video(spark, 30), fake=False
+    )
+    return fake.unionByName(real).select(
+        "media_id", "kind", "width", "height",
+        F.round(F.col("duration_sec"), 6).alias("duration_sec"), "n_bytes",
+    )
+
+
 def _q16_triples_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esgkg.stages import corpus, nlp
 
@@ -704,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_evaluation_harness": _q31_evaluation_harness,
         "q32_embedding_similarity_pairs": _q32_embedding_similarity_pairs,
         "q33_audio_features": _q33_audio_features,
+        "q34_video_features": _q34_video_features,
     }
 
 

@@ -786,6 +786,194 @@ def extract_audio_features(media: DataFrame,
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate (type, payload_start, payload_end) over ISO-BMFF boxes in
+    b[start:end]. Handles 64-bit largesize and size-0 (to end-of-file)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 box header")
+            size = int.from_bytes(b[pos + 8 : pos + 16], "big")
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield typ, pos + head, pos + size
+        pos += size
+
+
+def _parse_mp4_meta(b: bytes) -> tuple[int | None, int | None, float]:
+    """MP4/MOV metadata from the moov box — a pure ISO-BMFF box walk, no
+    sample decode. Duration comes from mvhd (duration/timescale, version
+    0 and 1 layouts); width/height from the first tkhd with nonzero
+    dimensions (16.16 fixed point), None for audio-only files."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+    duration = width = height = None
+    for typ, s, e in _mp4_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for ctyp, cs, ce in _mp4_boxes(b, s, e):
+            if ctyp == b"mvhd":
+                ver = b[cs]
+                if ver == 1:
+                    timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
+                    dur = int.from_bytes(b[cs + 24 : cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(b[cs + 12 : cs + 16], "big")
+                    dur = int.from_bytes(b[cs + 16 : cs + 20], "big")
+                if timescale == 0:
+                    raise ValueError("MP4 mvhd with zero timescale")
+                duration = dur / timescale
+            elif ctyp == b"trak" and width is None:
+                for ttyp, ts, te in _mp4_boxes(b, cs, ce):
+                    if ttyp != b"tkhd":
+                        continue
+                    # to duration: ver/flags 4 + ctime/mtime (8|16) +
+                    # track_id 4 + reserved 4
+                    off = ts + (28 if b[ts] == 1 else 20)
+                    # skip duration(4|8) + reserved 8 + layer/alt/vol/res 8
+                    off += (8 if b[ts] == 1 else 4) + 8 + 8 + 36
+                    w = int.from_bytes(b[off : off + 4], "big") >> 16
+                    h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                    if w and h:
+                        width, height = w, h
+    if duration is None:
+        raise ValueError("MP4 without a moov/mvhd box")
+    return width, height, duration
+
+
+def decode_video(payload: bytes,
+                 fake: bool = False) -> tuple[int | None, int | None, float]:
+    """(width, height, duration_sec). Real parse natively covers MP4/MOV
+    (ISO-BMFF box walk: mvhd duration, tkhd dimensions — no sample
+    decode, so this is container metadata, the part a catalog pipeline
+    needs; frame pixels need ffmpeg). Other containers raise
+    NotImplementedError. `fake=True` keeps a deterministic synthetic
+    parser for opaque test payloads (mirrors `decode_image`)."""
+    if fake:
+        h = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        return (
+            160 + h[0] * 8,
+            120 + h[1] * 8,
+            (1 + h[2]) / 4.0,
+        )
+    if payload and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _parse_mp4_meta(payload)
+    raise NotImplementedError(
+        "native coverage: MP4/MOV container metadata only; other video "
+        "containers (MKV/WebM/AVI) and frame decode need ffmpeg (not "
+        "installed) — pass fake=True for the deterministic stand-in"
+    )
+
+
+def synth_real_video_payload(i: int) -> tuple[bytes, str]:
+    """Deterministic REAL MP4 payload #i — a minimal ftyp+moov+mdat file
+    whose metadata is a closed-form spec the golden recomputes: duration
+    is (10 + i % 100) / 10 seconds at timescale 1000, dimensions are
+    (160 + 8 * (i % 9)) × (120 + 8 * (i % 5)); every third payload uses
+    the version-1 (64-bit) mvhd/tkhd layout, and every fifth is
+    audio-only (no video trak → NULL dimensions)."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    dur_ms = (10 + i % 100) * 100
+    w, h = 160 + 8 * (i % 9), 120 + 8 * (i % 5)
+    v1 = i % 3 == 0
+    if v1:
+        mvhd = (b"\x01" + bytes(3) + bytes(16)
+                + struct.pack(">I", 1000) + struct.pack(">Q", dur_ms)
+                + bytes(80))
+        tkhd_pre = (b"\x01" + bytes(3) + bytes(16)
+                    + struct.pack(">I", 1) + bytes(4)
+                    + struct.pack(">Q", dur_ms))
+    else:
+        mvhd = (b"\x00" + bytes(3) + bytes(8)
+                + struct.pack(">I", 1000) + struct.pack(">I", dur_ms)
+                + bytes(80))
+        tkhd_pre = (b"\x00" + bytes(3) + bytes(8)
+                    + struct.pack(">I", 1) + bytes(4)
+                    + struct.pack(">I", dur_ms))
+    tkhd = (tkhd_pre + bytes(8) + bytes(8) + bytes(36)
+            + struct.pack(">II", w << 16, h << 16))
+    children = box(b"mvhd", mvhd)
+    if i % 5 != 4:  # every fifth file is audio-only: no video trak
+        children += box(b"trak", box(b"tkhd", tkhd))
+    return (
+        box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+        + box(b"moov", children)
+        + box(b"mdat", hashlib.blake2b(
+            f"mdat:{i}".encode(), digest_size=16
+        ).digest() * (2 + i % 5))
+    ), "mp4"
+
+
+def synth_real_video(spark: SparkSession, n: int,
+                     id_offset: int = 3000) -> DataFrame:
+    """Deterministic REAL-format video table (synth_real_video_payload
+    MP4 bytes) — the video counterpart of `synth_real_media`."""
+    _session.ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload, codec = synth_real_video_payload(i)
+                rows.append(
+                    (
+                        id_offset + i, "video", payload,
+                        {"codec": codec, "src": "real"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def extract_video_features(media: DataFrame,
+                           fake: bool = True) -> DataFrame:
+    """media → per-item video container metadata (Arrow-batched
+    mapInPandas; same batch shape as `extract_features`)."""
+    _session.ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                w, h, dur = decode_video(b, fake=fake)
+                rows.append((int(mid), kind, w, h, dur, len(b)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA]
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media → per-item decoded features (Arrow-batched; decode stubbed)."""
     _session.ensure_shipped(media.sparkSession)

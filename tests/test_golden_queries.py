@@ -1,5 +1,5 @@
 """Golden-fixture checks for the queries the DuckDB differential
-oracle cannot express (q15-q20, q31, q33): each query's Spark DataFrame must value-match the
+oracle cannot express (q15-q20, q31, q33-q34): each query's Spark DataFrame must value-match the
 committed tests/golden/*.parquet, which tools/gen_goldens.py regenerates
 from the SINGLE-NODE oracle (plain python/numpy — no Spark). Comparison
 mirrors the driver's: columns sorted by name, rows order-insensitive,
@@ -27,6 +27,7 @@ GOLDEN_QUERIES = [
     "q20_knn_join",
     "q31_evaluation_harness",
     "q33_audio_features",
+    "q34_video_features",
 ]
 
 

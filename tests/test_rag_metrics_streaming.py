@@ -479,12 +479,10 @@ def _encode_gif(pixels, w, h, palette, min_code_size=2,
     )
 
 
-def test_decode_image_gif_and_webp():
+def test_decode_image_gif():
     """GIF gets a full native decode (stdlib LZW + palette): a hand-built
     2-color GIF yields the exact mean luma, and a larger image exercises
-    LZW table growth and a graphic-control extension. WebP gets
-    dimensions-only parses for all three container layouts (lossy VP8,
-    lossless VP8L, extended VP8X)."""
+    LZW table growth and a graphic-control extension."""
     import struct
 
     # 2x2 black/white checker -> mean luma exactly 0.5
@@ -570,6 +568,48 @@ def test_decode_audio_wav_and_mp3(spark):
     assert (got[2].sample_rate, got[2].duration_sec, got[2].rms) == (
         44100, None, None)
     assert not math.isnan(got[1].duration_sec)
+
+
+def test_decode_video_mp4_metadata(spark):
+    """MP4/MOV gets a native ISO-BMFF box walk: the deterministic builder
+    round-trips both mvhd/tkhd layout versions and the audio-only
+    NULL-dimensions contract; truncated boxes and moov-less files fail
+    loud; the Spark video-features path carries the NULLs through."""
+    from esgkg.ops.multimodal import (decode_video, extract_video_features,
+                                      synth_real_video,
+                                      synth_real_video_payload)
+
+    for i in (0, 1, 4, 9, 10):  # v1 (i%3==0), v0, audio-only (i%5==4)
+        payload, codec = synth_real_video_payload(i)
+        w, h, dur = decode_video(payload, fake=False)
+        assert codec == "mp4"
+        assert abs(dur - (10 + i % 100) / 10.0) < 1e-12
+        if i % 5 == 4:
+            assert w is None and h is None
+        else:
+            assert (w, h) == (160 + 8 * (i % 9), 120 + 8 * (i % 5))
+    # failure contracts
+    with pytest.raises(ValueError, match="without a moov"):
+        decode_video(b"\x00\x00\x00\x0cftypisom", fake=False)
+    with pytest.raises(ValueError, match="truncated MP4"):
+        payload, _ = synth_real_video_payload(1)
+        decode_video(payload[:40], fake=False)
+    with pytest.raises(NotImplementedError, match="native coverage"):
+        decode_video(b"\x1aE\xdf\xa3" + bytes(16), fake=False)  # MKV magic
+
+    got = {r.media_id: r for r in
+           extract_video_features(
+               synth_real_video(spark, 10), fake=False).collect()}
+    assert (got[3004].width, got[3004].height) == (None, None)
+    assert abs(got[3004].duration_sec - 1.4) < 1e-9
+    assert (got[3000].width, got[3000].height) == (160, 120)
+
+
+def test_decode_image_webp_dims():
+    """WebP gets dimensions-only parses for all three container layouts
+    (lossy VP8, lossless VP8L, extended VP8X) plus loud failure
+    contracts."""
+    import struct
 
     def riff(fourcc, payload):
         return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"

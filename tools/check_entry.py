@@ -1,6 +1,6 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
 on Spark and compare against its oracle — the DuckDB oracle_sql() where one
-exists, else the committed tests/golden/*.parquet fixture (q15-q20, q31, q33),
+exists, else the committed tests/golden/*.parquet fixture (q15-q20, q31, q33-q34),
 so queries the driver reports as `no_oracle` get real pass/fail rows here.
 Compares row count, column names, and order-insensitive values, and writes
 the per-query records to CORRECTNESS_local.json at the repo root.

@@ -1,5 +1,5 @@
 """Regenerate tests/golden/*.parquet — committed expected outputs for the
-queries the DuckDB oracle cannot express (q15-q20, q31, q33 — `no_oracle`
+queries the DuckDB oracle cannot express (q15-q20, q31, q33-q34 — `no_oracle`
 in the driver's correctness report). Each golden is computed by a SINGLE-NODE
 oracle (plain python / numpy / pandas — no Spark): the sequential
 reference-pipeline semantics of esgkg/oracle.py extended with the linking,
@@ -559,9 +559,52 @@ def gold_q33(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q34 — video container metadata: fake rows recomputed from the synthetic-
+# parser spec; real rows recomputed ANALYTICALLY from
+# synth_real_video_payload's closed-form metadata spec, independently
+# checking the native MP4 box walk (both mvhd/tkhd layout versions and the
+# audio-only NULL-dimensions contract).
+# ---------------------------------------------------------------------------
+def gold_q34(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
+    rows = []
+    for i in range(n):
+        if i % 3 != 2:  # synth_media kind rotation: only video rows
+            continue
+        payload = hashlib.blake2b(
+            f"{seed}:{i}".encode(), digest_size=32
+        ).digest() * (4 + i % 7)
+        h = hashlib.blake2b(payload, digest_size=8).digest()
+        rows.append(
+            (
+                i, "video", 160 + h[0] * 8, 120 + h[1] * 8,
+                _round6_half_up((1 + h[2]) / 4.0), len(payload),
+            )
+        )
+    from esgkg.ops.multimodal import synth_real_video_payload
+
+    for i in range(n_real):
+        payload, _codec = synth_real_video_payload(i)
+        audio_only = i % 5 == 4
+        rows.append(
+            (
+                3000 + i, "video",
+                np.nan if audio_only else 160 + 8 * (i % 9),
+                np.nan if audio_only else 120 + 8 * (i % 5),
+                _round6_half_up((10 + i % 100) / 10.0), len(payload),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "width", "height",
+                 "duration_sec", "n_bytes"],
+    )
+
+
 GOLDENS = {
     "q15_media_features": gold_q15,
     "q33_audio_features": gold_q33,
+    "q34_video_features": gold_q34,
     "q16_triples_by_pred": gold_q16,
     "q17_canonical_triples": gold_q17,
     "q18_predicted_links": gold_q18,
