@@ -199,12 +199,12 @@ def synth_real_payload(i: int) -> tuple[bytes, str]:
     ), "webp"
 
 
-def synth_real_media(spark: SparkSession, n: int,
-                     id_offset: int = 1000) -> DataFrame:
-    """Deterministic REAL-format media table (synth_real_payload BMP/PNG/
-    JPEG bytes) — the fake=False counterpart of `synth_media`, so
-    externally-checked artifacts exercise the native decoders, not just
-    the synthetic stand-in."""
+def _synth_real_table(spark: SparkSession, n: int, payload_fn,
+                      kind: str, id_offset: int) -> DataFrame:
+    """Shared generator behind the three synth_real_* builders: one
+    MEDIA_SCHEMA row per id with REAL-format bytes from `payload_fn`
+    (a module-level `i -> (payload, codec)` builder, so the closure ships
+    to executors with the package)."""
     _session.ensure_shipped(spark)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -212,10 +212,10 @@ def synth_real_media(spark: SparkSession, n: int,
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                payload, codec = synth_real_payload(i)
+                payload, codec = payload_fn(i)
                 rows.append(
                     (
-                        id_offset + i, "image", payload,
+                        id_offset + i, kind, payload,
                         {"codec": codec, "src": "real"},
                     )
                 )
@@ -224,6 +224,15 @@ def synth_real_media(spark: SparkSession, n: int,
             )
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synth_real_media(spark: SparkSession, n: int,
+                     id_offset: int = 1000) -> DataFrame:
+    """Deterministic REAL-format media table (synth_real_payload BMP/PNG/
+    JPEG/GIF/WebP round-robin) — the fake=False counterpart of
+    `synth_media`, so externally-checked artifacts exercise the native
+    decoders, not just the synthetic stand-in."""
+    return _synth_real_table(spark, n, synth_real_payload, "image", id_offset)
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, float]:
@@ -398,6 +407,8 @@ def _decode_gif(b: bytes) -> tuple[int, int, float]:
     gct = None
     if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
         n = 3 * (2 << (flags & 0x07))
+        if pos + n > len(b):
+            raise ValueError("truncated GIF color table")
         gct = np.frombuffer(b[pos : pos + n], dtype=np.uint8).reshape(-1, 3)
         pos += n
 
@@ -425,6 +436,8 @@ def _decode_gif(b: bytes) -> tuple[int, int, float]:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # image descriptor: left, top, w, h (u16 LE each), flags
+        if pos + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
         iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
         ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
         iflags = b[pos + 9]
@@ -432,12 +445,16 @@ def _decode_gif(b: bytes) -> tuple[int, int, float]:
         table = gct
         if iflags & 0x80:  # local color table overrides
             n = 3 * (2 << (iflags & 0x07))
+            if pos + n > len(b):
+                raise ValueError("truncated GIF color table")
             table = np.frombuffer(
                 b[pos : pos + n], dtype=np.uint8
             ).reshape(-1, 3)
             pos += n
         if table is None:
             raise ValueError("GIF image without a color table")
+        if pos >= len(b):
+            raise ValueError("truncated GIF image data")
         min_code = b[pos]
         data, pos = sub_blocks(pos + 1)
         indices = _lzw_decode(data, min_code, iw * ih)
@@ -743,25 +760,9 @@ def synth_real_audio(spark: SparkSession, n: int,
                      id_offset: int = 2000) -> DataFrame:
     """Deterministic REAL-format audio table (synth_real_audio_payload
     WAV/MP3 bytes) — the audio counterpart of `synth_real_media`."""
-    _session.ensure_shipped(spark)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                payload, codec = synth_real_audio_payload(i)
-                rows.append(
-                    (
-                        id_offset + i, "audio", payload,
-                        {"codec": codec, "src": "real"},
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "payload", "meta"]
-            )
-
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_real_table(
+        spark, n, synth_real_audio_payload, "audio", id_offset
+    )
 
 
 def extract_audio_features(media: DataFrame,
@@ -832,6 +833,8 @@ def _parse_mp4_meta(b: bytes) -> tuple[int | None, int | None, float]:
             continue
         for ctyp, cs, ce in _mp4_boxes(b, s, e):
             if ctyp == b"mvhd":
+                if ce - cs < 20 or (b[cs] == 1 and ce - cs < 32):
+                    raise ValueError("truncated MP4 mvhd payload")
                 ver = b[cs]
                 if ver == 1:
                     timescale = int.from_bytes(b[cs + 20 : cs + 24], "big")
@@ -846,6 +849,11 @@ def _parse_mp4_meta(b: bytes) -> tuple[int | None, int | None, float]:
                 for ttyp, ts, te in _mp4_boxes(b, cs, ce):
                     if ttyp != b"tkhd":
                         continue
+                    # full fixed layout through width+height: v0 needs 84
+                    # bytes, v1 needs 96 — a shorter box must not fall
+                    # through to reading the next sibling's bytes
+                    if te - ts < 84 or (b[ts] == 1 and te - ts < 96):
+                        raise ValueError("truncated MP4 tkhd payload")
                     # to duration: ver/flags 4 + ctime/mtime (8|16) +
                     # track_id 4 + reserved 4
                     off = ts + (28 if b[ts] == 1 else 20)
@@ -931,25 +939,9 @@ def synth_real_video(spark: SparkSession, n: int,
                      id_offset: int = 3000) -> DataFrame:
     """Deterministic REAL-format video table (synth_real_video_payload
     MP4 bytes) — the video counterpart of `synth_real_media`."""
-    _session.ensure_shipped(spark)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                payload, codec = synth_real_video_payload(i)
-                rows.append(
-                    (
-                        id_offset + i, "video", payload,
-                        {"codec": codec, "src": "real"},
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "payload", "meta"]
-            )
-
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _synth_real_table(
+        spark, n, synth_real_video_payload, "video", id_offset
+    )
 
 
 def extract_video_features(media: DataFrame,

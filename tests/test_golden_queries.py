@@ -33,7 +33,10 @@ GOLDEN_QUERIES = [
 
 def _norm(v):
     if v is None:
-        return "NULL"
+        # same token check_entry.norm uses: a SQL NULL reaches this
+        # comparer as python None via Spark collect() but as NaN via a
+        # pandas float column (golden parquet) — both must hash alike
+        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

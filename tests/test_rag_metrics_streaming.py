@@ -605,6 +605,43 @@ def test_decode_video_mp4_metadata(spark):
     assert (got[3000].width, got[3000].height) == (160, 120)
 
 
+def test_decoder_truncation_guards():
+    """Truncated container structures fail the module's loud ValueError
+    contract instead of IndexErrors or silently reading a sibling box's
+    bytes as data (MP4 tkhd/mvhd bounds; GIF descriptor/color-table/
+    image-data bounds)."""
+    import struct
+
+    from esgkg.ops.multimodal import decode_image, decode_video
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00")
+    mvhd_v0 = box(b"mvhd", bytes(12) + struct.pack(">II", 10, 25))
+    # a 40-byte tkhd (shorter than the 84-byte v0 fixed layout) followed
+    # by a sibling box whose bytes would previously be read as w/h
+    short_trak = box(b"trak", box(b"tkhd", bytes(40))
+                     + box(b"free", b"\x00\x01\x00\x00" * 4))
+    with pytest.raises(ValueError, match="truncated MP4 tkhd"):
+        decode_video(ftyp + box(b"moov", mvhd_v0 + short_trak), fake=False)
+    with pytest.raises(ValueError, match="truncated MP4 mvhd"):
+        decode_video(ftyp + box(b"moov", box(b"mvhd", b"")), fake=False)
+    # v1 tkhd needs 96 bytes — an 88-byte one must also fail loud
+    v1_trak = box(b"trak", box(b"tkhd", b"\x01" + bytes(87)))
+    with pytest.raises(ValueError, match="truncated MP4 tkhd"):
+        decode_video(ftyp + box(b"moov", mvhd_v0 + v1_trak), fake=False)
+
+    hdr = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+    gct = bytes([0, 0, 0, 255, 255, 255])
+    with pytest.raises(ValueError, match="truncated GIF color table"):
+        decode_image(hdr + gct[:3], fake=False)
+    with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+        decode_image(hdr + gct + b"\x2c" + bytes(3), fake=False)
+    with pytest.raises(ValueError, match="truncated GIF image data"):
+        decode_image(hdr + gct + b"\x2c" + bytes(8) + b"\x00", fake=False)
+
+
 def test_decode_image_webp_dims():
     """WebP gets dimensions-only parses for all three container layouts
     (lossy VP8, lossless VP8L, extended VP8X) plus loud failure

@@ -148,7 +148,7 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
         w = 64 + h[0] % 192
         ht = 64 + h[1] % 192
         luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
-        rows.append((i, kind, w, ht, round(luma, 6), len(payload)))
+        rows.append((i, kind, w, ht, _round6_half_up(luma), len(payload)))
     # real-format rows: payload bytes come from the shared deterministic
     # builder, but the expected features are recomputed ANALYTICALLY from
     # its closed-form pixel spec (multimodal.synth_real_payload docstring)
@@ -169,7 +169,7 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
                 (i * 31 + y * 17 + x * 5) % 256
                 for y in range(ht) for x in range(w)
             )
-            luma = round(tot / (w * ht) / 255.0, 6)
+            luma = _round6_half_up(tot / (w * ht) / 255.0)
         else:
             tot = 0.0
             for y in range(ht):
@@ -179,7 +179,7 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
                         for c in (0, 1, 2)
                     )
                     tot += 0.299 * r + 0.587 * g + 0.114 * b
-            luma = round(tot / (w * ht) / 255.0, 6)
+            luma = _round6_half_up(tot / (w * ht) / 255.0)
         rows.append((1000 + i, "image", w, ht, luma, len(payload)))
     return pd.DataFrame(
         rows,
