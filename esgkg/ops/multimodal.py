@@ -68,16 +68,19 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 
 
 def synth_real_payload(i: int) -> tuple[bytes, str]:
-    """Deterministic REAL image payload #i — BMP / PNG / JPEG / GIF / WebP
-    round-robin (i % 5). Dimensions are (4 + i % 13) × (3 + i % 7); the
-    pixel channel value at (x, y) is (i*31 + y*17 + x*5 + c*11) % 256 for
-    c = 0,1,2 (R,G,B) — a closed-form spec the golden oracle recomputes
-    analytically, so the committed golden independently checks the native
-    decoders. PNG rows cycle through all five scanline filters (y % 5),
-    exercising every decode branch; GIF uses a 256-level grayscale palette
-    with pixel index = the c=0 channel value, LZW-coded as a spec-valid
-    clear-per-code stream; JPEG is a header-only marker stream and WebP a
-    VP8L header (the dimensions-only parse contract, mean_luma NULL)."""
+    """Deterministic REAL image payload #i — BMP / PNG / JPEG / GIF / WebP /
+    palette-PNG round-robin (i % 6). Dimensions are (4 + i % 13) ×
+    (3 + i % 7); the pixel channel value at (x, y) is
+    (i*31 + y*17 + x*5 + c*11) % 256 for c = 0,1,2 (R,G,B) — a closed-form
+    spec the golden oracle recomputes analytically, so the committed golden
+    independently checks the native decoders. PNG rows cycle through all
+    five scanline filters (y % 5), exercising every decode branch; GIF uses
+    a 256-level grayscale palette with pixel index = the c=0 channel value,
+    LZW-coded as a spec-valid clear-per-code stream; palette PNG (color
+    type 3) indexes by the c=0 channel value through PLTE entry j =
+    ((j*3) % 256, (j*5 + 1) % 256, (j*7 + 2) % 256); JPEG is a header-only
+    marker stream and WebP a VP8L header (the dimensions-only parse
+    contract, mean_luma NULL)."""
     import struct
     import zlib
 
@@ -86,29 +89,12 @@ def synth_real_payload(i: int) -> tuple[bytes, str]:
     def px(x: int, y: int, c: int) -> int:
         return (i * 31 + y * 17 + x * 5 + c * 11) % 256
 
-    fmt = i % 5
-    if fmt == 0:  # 24-bit BMP: bottom-up rows, BGR, 4-byte row stride
-        stride = (w * 3 + 3) // 4 * 4
-        data = bytearray()
-        for y in range(h - 1, -1, -1):
-            row = bytearray()
-            for x in range(w):
-                row += bytes([px(x, y, 2), px(x, y, 1), px(x, y, 0)])
-            row += bytes(stride - len(row))
-            data += row
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
-        )
-        return (
-            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
-            + info + bytes(data)
-        ), "bmp"
-    if fmt == 1:  # 8-bit RGB PNG, filter type y % 5 per scanline
-        ch = 3
+    def png_filter_encode(lines: list[bytes], ch: int) -> bytearray:
+        """Apply PNG scanline filter y % 5 to each raw line (the decoder's
+        inverse), prefixing each with its filter-type byte."""
         enc = bytearray()
-        prev = bytes(w * ch)
-        for y in range(h):
-            line = bytes(px(x, y, c) for x in range(w) for c in range(ch))
+        prev = bytes(len(lines[0]))
+        for y, line in enumerate(lines):
             f = y % 5
             enc.append(f)
             for j in range(len(line)):
@@ -131,18 +117,59 @@ def synth_real_payload(i: int) -> tuple[bytes, str]:
                     )
                 enc.append((line[j] - pred) & 0xFF)
             prev = line
+        return enc
 
-        def chunk(typ: bytes, d: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(d)) + typ + d
-                + struct.pack(">I", zlib.crc32(typ + d) & 0xFFFFFFFF)
-            )
+    def png_chunk(typ: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + typ + d
+            + struct.pack(">I", zlib.crc32(typ + d) & 0xFFFFFFFF)
+        )
 
+    fmt = i % 6
+    if fmt == 0:  # 24-bit BMP: bottom-up rows, BGR, 4-byte row stride
+        stride = (w * 3 + 3) // 4 * 4
+        data = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                row += bytes([px(x, y, 2), px(x, y, 1), px(x, y, 0)])
+            row += bytes(stride - len(row))
+            data += row
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + info + bytes(data)
+        ), "bmp"
+    if fmt == 1:  # 8-bit RGB PNG, filter type y % 5 per scanline
+        lines = [
+            bytes(px(x, y, c) for x in range(w) for c in range(3))
+            for y in range(h)
+        ]
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
         return (
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(enc)))
-            + chunk(b"IEND", b"")
+            b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+            + png_chunk(
+                b"IDAT", zlib.compress(bytes(png_filter_encode(lines, 3)))
+            )
+            + png_chunk(b"IEND", b"")
+        ), "png"
+    if fmt == 5:  # 8-bit palette PNG (color type 3): one index byte per
+        # pixel (the c=0 channel value) resolved through a non-gray PLTE
+        lines = [bytes(px(x, y, 0) for x in range(w)) for y in range(h)]
+        plte = bytes(
+            v for j in range(256)
+            for v in ((j * 3) % 256, (j * 5 + 1) % 256, (j * 7 + 2) % 256)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"PLTE", plte)
+            + png_chunk(
+                b"IDAT", zlib.compress(bytes(png_filter_encode(lines, 1)))
+            )
+            + png_chunk(b"IEND", b"")
         ), "png"
 
     if fmt == 2:  # JPEG: header-only marker stream (dimensions-only parse)
@@ -267,8 +294,9 @@ def _decode_bmp(b: bytes) -> tuple[int, int, float]:
 
 
 def _decode_png(b: bytes) -> tuple[int, int, float]:
-    """8-bit greyscale/RGB/RGBA non-interlaced PNG — stdlib zlib inflate +
-    the five standard scanline filters undone sequentially."""
+    """8-bit greyscale/palette/RGB/RGBA non-interlaced PNG — stdlib zlib
+    inflate + the five standard scanline filters undone sequentially;
+    indexed images (color type 3) resolve through the PLTE chunk."""
     import struct
     import zlib
 
@@ -277,7 +305,7 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     pos, idat = 8, bytearray()
-    width = height = color_type = None
+    width = height = color_type = palette = None
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos : pos + 4], "big")
         typ = b[pos + 4 : pos + 8]
@@ -287,19 +315,25 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
             width, height, depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
                 raise NotImplementedError(
-                    "native PNG decode covers 8-bit gray/RGB/RGBA, "
+                    "native PNG decode covers 8-bit gray/palette/RGB/RGBA, "
                     "non-interlaced only"
                 )
+        elif typ == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("corrupt PNG PLTE chunk")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
     if width is None:
         raise ValueError("PNG without IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("PNG palette image without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     stride = width * ch
     # validate up front (mirrors the BMP path's contract): a truncated or
     # corrupt IDAT would otherwise surface as a bare IndexError mid-filter
@@ -337,7 +371,16 @@ def _decode_png(b: bytes) -> tuple[int, int, float]:
         out += line
         prev = line
     arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, ch)
-    if ch == 1:
+    if color_type == 3:
+        if int(arr.max()) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        arr = palette[arr[..., 0]]
+        luma = (
+            0.299 * arr[..., 0].astype(np.float64)
+            + 0.587 * arr[..., 1]
+            + 0.114 * arr[..., 2]
+        )
+    elif ch == 1:
         luma = arr[..., 0].astype(np.float64)
     else:
         luma = (
@@ -554,7 +597,7 @@ def _parse_webp_dims(b: bytes) -> tuple[int, int, None]:
 def decode_image(payload: bytes,
                  fake: bool = False) -> tuple[int, int, float | None]:
     """(width, height, mean_luma). Real decode natively covers 24-bit
-    uncompressed BMP, 8-bit gray/RGB/RGBA non-interlaced PNG, and GIF
+    uncompressed BMP, 8-bit gray/palette/RGB/RGBA non-interlaced PNG, and GIF
     (LZW + palette, first frame) — pure stdlib+numpy, no imaging library
     in this container; JPEG and WebP get dimensions-only header parses
     (mean_luma=None — documented boundary: luma needs entropy/VP8
@@ -680,13 +723,39 @@ def _parse_mp3_header(b: bytes) -> tuple[int, int, None, None]:
     raise ValueError("MP3 without a valid frame header")
 
 
+def _parse_flac_streaminfo(b: bytes) -> tuple[int, int, float | None, None]:
+    """FLAC stream parameters from the mandatory first STREAMINFO metadata
+    block (RFC 9639 §8.2) — no frame decode. Unlike MP3, duration IS
+    header-derivable (the 36-bit total-samples field); rms is None by
+    contract (it needs the subframe residual decode a real codec provides).
+    A total-samples field of 0 means "unknown" per spec → duration None."""
+    if len(b) < 8 or b[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    if b[4] & 0x7F != 0:
+        raise ValueError("FLAC stream must start with a STREAMINFO block")
+    ln = int.from_bytes(b[5:8], "big")
+    if ln < 34 or 8 + ln > len(b):
+        raise ValueError("truncated FLAC STREAMINFO")
+    # body bytes 10..18 pack sample_rate(20) | channels-1(3) | bps-1(5) |
+    # total_samples(36) as one big-endian 64-bit field
+    v = int.from_bytes(b[18:26], "big")
+    sample_rate = v >> 44
+    n_channels = ((v >> 41) & 0x07) + 1
+    total_samples = v & ((1 << 36) - 1)
+    if sample_rate == 0:
+        raise ValueError("FLAC STREAMINFO with zero sample rate")
+    duration = total_samples / sample_rate if total_samples else None
+    return sample_rate, n_channels, duration, None
+
+
 def decode_audio(payload: bytes,
                  fake: bool = False) -> tuple[int, int,
                                               float | None, float | None]:
     """(sample_rate, n_channels, duration_sec, rms). Real decode natively
     covers RIFF/WAVE 8/16-bit PCM (pure stdlib+numpy); MP3 gets a
     parameters-only frame-header parse (duration/rms None — documented
-    boundary: they need a real decoder). Other formats raise
+    boundary: they need a real decoder); FLAC gets a STREAMINFO parse
+    (duration header-derivable, rms None). Other formats raise
     NotImplementedError. `fake=True` keeps a deterministic synthetic
     decoder for opaque test payloads (mirrors `decode_image`)."""
     if fake:
@@ -699,6 +768,8 @@ def decode_audio(payload: bytes,
         )
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload and payload[:4] == b"fLaC":
+        return _parse_flac_streaminfo(payload)
     if payload and (
         payload[:3] == b"ID3"
         or (len(payload) >= 2 and payload[0] == 0xFF
@@ -706,7 +777,7 @@ def decode_audio(payload: bytes,
     ):
         return _parse_mp3_header(payload)
     raise NotImplementedError(
-        "native coverage: WAV (8/16-bit PCM) full decode; MP3 "
+        "native coverage: WAV (8/16-bit PCM) full decode; MP3 and FLAC "
         "parameters-only; other audio formats need librosa/ffmpeg (not "
         "installed) — pass fake=True for the deterministic stand-in"
     )
@@ -714,18 +785,22 @@ def decode_audio(payload: bytes,
 
 def synth_real_audio_payload(i: int) -> tuple[bytes, str]:
     """Deterministic REAL audio payload #i — 16-bit WAV / 8-bit WAV / MP3
-    header round-robin (i % 3). sample_rate is (8000, 16000, 22050,
-    44100)[i % 4], channels 1 + i % 2, frames 50 + i % 30; the sample
-    value at frame t, channel c is a closed-form spec the golden oracle
-    recomputes analytically: 16-bit s = ((i*37 + t*13 + c*7) % 4096) -
-    2048, 8-bit byte v = (i*37 + t*13 + c*7) % 256. MP3 payloads are a
-    single hand-built frame header (parameters-only parse contract)."""
+    header / FLAC STREAMINFO round-robin (i % 4). sample_rate is (8000,
+    16000, 22050, 44100)[i % 4] for WAV (32000 + (i % 5) * 8000 for FLAC,
+    whose rotation slot would otherwise pin the WAV rate table's last
+    entry), channels 1 + i % 2, frames 50 + i % 30; the sample value at
+    frame t, channel c is a closed-form spec the golden oracle recomputes
+    analytically: 16-bit s = ((i*37 + t*13 + c*7) % 4096) - 2048, 8-bit
+    byte v = (i*37 + t*13 + c*7) % 256. MP3 payloads are a single
+    hand-built frame header (parameters-only parse contract); FLAC
+    payloads are a STREAMINFO-only metadata stream with total_samples =
+    frames (duration header-derivable, rms NULL)."""
     import struct
 
     rate = (8000, 16000, 22050, 44100)[i % 4]
     ch = 1 + i % 2
     frames = 50 + i % 30
-    fmt = i % 3
+    fmt = i % 4
 
     def wav(data: bytes, bits: int) -> bytes:
         block = ch * bits // 8
@@ -751,9 +826,18 @@ def synth_real_audio_payload(i: int) -> tuple[bytes, str]:
             for t in range(frames) for c in range(ch)
         )
         return wav(data, 8), "wav"
-    # MP3: MPEG1 Layer III frame header, 44.1 kHz, mono for odd i
-    hdr = bytes([0xFF, 0xFB, 0x90, 0xC0 if ch == 1 else 0x00])
-    return hdr + bytes(32), "mp3"
+    if fmt == 2:  # MP3: MPEG1 Layer III frame header, 44.1 kHz
+        hdr = bytes([0xFF, 0xFB, 0x90, 0xC0 if ch == 1 else 0x00])
+        return hdr + bytes(32), "mp3"
+    # FLAC: last-block STREAMINFO (type 0, length 34) — blocksizes 4096,
+    # framesizes 0 (unknown, spec-valid), 16-bit, total_samples = frames
+    frate = 32000 + (i % 5) * 8000
+    v = (frate << 44) | ((ch - 1) << 41) | (15 << 36) | frames
+    body = (
+        struct.pack(">HH", 4096, 4096) + bytes(6)
+        + v.to_bytes(8, "big") + bytes(16)
+    )
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body, "flac"
 
 
 def synth_real_audio(spark: SparkSession, n: int,

@@ -359,6 +359,43 @@ def test_decode_image_real_bmp_and_png(spark):
         multimodal.decode_image(b"II*\x00" + bytes(16), fake=False)
 
 
+def test_decode_image_palette_png():
+    """Indexed PNG (color type 3) resolves pixel bytes through the PLTE
+    chunk: a hand-built 2x2 image whose palette entries differ from their
+    indices yields the palette colors' luma, and the missing-PLTE /
+    corrupt-PLTE / out-of-range-index contracts fail loud."""
+    import struct
+    import zlib
+
+    from esgkg.ops.multimodal import decode_image
+
+    def chunk(typ, d):
+        return (struct.pack(">I", len(d)) + typ + d
+                + struct.pack(">I", zlib.crc32(typ + d) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+    # palette: 0 -> black, 1 -> white, 2 -> pure red
+    plte = chunk(b"PLTE", bytes([0, 0, 0, 255, 255, 255, 255, 0, 0]))
+    idat = chunk(b"IDAT", zlib.compress(bytes([0, 0, 1, 0, 1, 2])))
+    w, h, luma = decode_image(sig + ihdr + plte + idat + chunk(b"IEND", b""),
+                              fake=False)
+    assert (w, h) == (2, 2)
+    # pixels: black, white, white, red -> mean of (0, 255, 255, 0.299*255)
+    assert abs(luma - (0 + 255 + 255 + 0.299 * 255) / 4 / 255.0) < 1e-12
+
+    with pytest.raises(ValueError, match="without a PLTE"):
+        decode_image(sig + ihdr + idat + chunk(b"IEND", b""), fake=False)
+    bad_plte = chunk(b"PLTE", bytes(4))  # not a multiple of 3
+    with pytest.raises(ValueError, match="corrupt PNG PLTE"):
+        decode_image(sig + ihdr + bad_plte + idat + chunk(b"IEND", b""),
+                     fake=False)
+    oob = chunk(b"IDAT", zlib.compress(bytes([0, 0, 1, 0, 1, 9])))
+    with pytest.raises(ValueError, match="palette index out of range"):
+        decode_image(sig + ihdr + plte + oob + chunk(b"IEND", b""),
+                     fake=False)
+
+
 def test_decode_image_jpeg_dims_and_png_truncation(spark):
     """JPEG gets a dimensions-only SOF parse (round-4 verdict item 4):
     a hand-built minimal JPEG header yields (width, height, None); a
@@ -568,6 +605,38 @@ def test_decode_audio_wav_and_mp3(spark):
     assert (got[2].sample_rate, got[2].duration_sec, got[2].rms) == (
         44100, None, None)
     assert not math.isnan(got[1].duration_sec)
+
+
+def test_parse_flac_streaminfo():
+    """FLAC streams get a STREAMINFO parameters parse: rate/channels plus a
+    header-derivable duration (the 36-bit total-samples field), NULL rms;
+    unknown-total-samples, block-ordering, and truncation contracts all
+    fail loud per the module's ValueError convention."""
+    import struct
+
+    from esgkg.ops.multimodal import decode_audio
+
+    def flac(rate, ch, total, typ=0):
+        v = (rate << 44) | ((ch - 1) << 41) | (15 << 36) | total
+        body = (struct.pack(">HH", 4096, 4096) + bytes(6)
+                + v.to_bytes(8, "big") + bytes(16))
+        return (b"fLaC" + bytes([0x80 | typ])
+                + len(body).to_bytes(3, "big") + body)
+
+    rate, ch, dur, rms = decode_audio(flac(44100, 2, 44100 * 3), fake=False)
+    assert (rate, ch, rms) == (44100, 2, None)
+    assert abs(dur - 3.0) < 1e-12
+    # odd rate + the 3-bit channel field's max exercise the full bit widths
+    assert decode_audio(flac(96000, 8, 48000), fake=False) == \
+        (96000, 8, 0.5, None)
+    # total_samples == 0 means "unknown" per RFC 9639 -> duration NULL
+    assert decode_audio(flac(8000, 1, 0), fake=False) == (8000, 1, None, None)
+    with pytest.raises(ValueError, match="must start with a STREAMINFO"):
+        decode_audio(flac(8000, 1, 10, typ=4), fake=False)
+    with pytest.raises(ValueError, match="truncated FLAC"):
+        decode_audio(flac(8000, 1, 10)[:20], fake=False)
+    with pytest.raises(ValueError, match="zero sample rate"):
+        decode_audio(flac(0, 1, 10), fake=False)
 
 
 def test_decode_video_mp4_metadata(spark):

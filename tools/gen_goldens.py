@@ -152,9 +152,9 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
     # real-format rows: payload bytes come from the shared deterministic
     # builder, but the expected features are recomputed ANALYTICALLY from
     # its closed-form pixel spec (multimodal.synth_real_payload docstring)
-    # — the golden therefore independently checks the native BMP/PNG/GIF
-    # decoders and the JPEG/WebP dimensions-only parses, not just replays
-    # them
+    # — the golden therefore independently checks the native BMP, PNG
+    # (RGB and palette), and GIF decoders and the JPEG/WebP dimensions-only
+    # parses, not just replays them
     from esgkg.ops.multimodal import synth_real_payload
 
     for i in range(n_real):
@@ -169,6 +169,19 @@ def gold_q15(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
                 (i * 31 + y * 17 + x * 5) % 256
                 for y in range(ht) for x in range(w)
             )
+            luma = _round6_half_up(tot / (w * ht) / 255.0)
+        elif i % 6 == 5:
+            # palette PNG: index = c=0 channel value, resolved through the
+            # closed-form PLTE entry j -> ((j*3)%256, (j*5+1)%256, (j*7+2)%256)
+            tot = 0.0
+            for y in range(ht):
+                for x in range(w):
+                    j = (i * 31 + y * 17 + x * 5) % 256
+                    tot += (
+                        0.299 * ((j * 3) % 256)
+                        + 0.587 * ((j * 5 + 1) % 256)
+                        + 0.114 * ((j * 7 + 2) % 256)
+                    )
             luma = _round6_half_up(tot / (w * ht) / 255.0)
         else:
             tot = 0.0
@@ -497,7 +510,7 @@ def gold_q31(n_pages: int = 300, n_cases: int = 3) -> pd.DataFrame:
 # q33 — audio features: fake rows recomputed from the synthetic-decoder
 # spec; real rows recomputed ANALYTICALLY from synth_real_audio_payload's
 # closed-form sample spec, independently checking the native WAV decoder
-# and the MP3 parameters-only parse.
+# and the MP3 / FLAC parameters-only parses.
 # ---------------------------------------------------------------------------
 def _round6_half_up(v: float) -> float:
     """Spark's F.round(col, 6): HALF_UP on the double's shortest decimal
@@ -539,11 +552,19 @@ def gold_q33(n: int = 200, n_real: int = 30, seed: int = 42) -> pd.DataFrame:
             rows.append((2000 + i, "audio", 44100, ch,
                          np.nan, np.nan, len(payload)))
             continue
+        if codec == "flac":
+            # STREAMINFO-only stream: duration = total_samples/rate is
+            # header-derivable; rms stays NULL (needs a frame decode)
+            frate = 32000 + (i % 5) * 8000
+            rows.append((2000 + i, "audio", frate, ch,
+                         _round6_half_up(frames / frate),
+                         np.nan, len(payload)))
+            continue
         rate = (8000, 16000, 22050, 44100)[i % 4]
         tot = 0.0
         for t in range(frames):
             for c in range(ch):
-                if i % 3 == 0:  # 16-bit signed
+                if i % 4 == 0:  # 16-bit signed
                     s = (((i * 37 + t * 13 + c * 7) % 4096) - 2048) / 32768.0
                 else:           # 8-bit unsigned
                     s = ((i * 37 + t * 13 + c * 7) % 256 - 128) / 128.0
