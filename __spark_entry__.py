@@ -278,10 +278,10 @@ def _q15_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # format-split table (round-4 verdict item 3): 200 opaque payloads
     # through the deterministic fake decoder UNION 30 real BMP/PNG/JPEG/
-    # GIF/WebP payloads through the NATIVE decoders, so the externally-
-    # checked golden exercises the real decode paths (all five PNG
-    # filters, GIF LZW + palette, the JPEG/WebP dimensions-only parses
-    # with their NULL luma)
+    # GIF/WebP/palette-PNG payloads through the NATIVE decoders, so the
+    # externally-checked golden exercises the real decode paths (all five
+    # PNG filters, PLTE resolution, GIF LZW + palette, the JPEG/WebP
+    # dimensions-only parses with their NULL luma)
     fake = multimodal.extract_features(
         multimodal.synth_media(spark, 200), fake=True
     )
@@ -299,8 +299,9 @@ def _q33_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # audio counterpart of q15's format split: the opaque audio rows of
     # the synthetic media table through the deterministic fake decoder
-    # UNION 30 real WAV/MP3 payloads through the NATIVE decoders (full
-    # 8/16-bit PCM decode; MP3 parameters-only with NULL duration/rms)
+    # UNION 30 real WAV/MP3/FLAC payloads through the NATIVE decoders
+    # (full 8/16-bit PCM decode; MP3 parameters-only with NULL
+    # duration/rms; FLAC STREAMINFO with header-derivable duration)
     fake = multimodal.extract_audio_features(
         multimodal.synth_media(spark, 200).filter(F.col("kind") == "audio"),
         fake=True,

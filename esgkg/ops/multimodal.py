@@ -843,7 +843,7 @@ def synth_real_audio_payload(i: int) -> tuple[bytes, str]:
 def synth_real_audio(spark: SparkSession, n: int,
                      id_offset: int = 2000) -> DataFrame:
     """Deterministic REAL-format audio table (synth_real_audio_payload
-    WAV/MP3 bytes) — the audio counterpart of `synth_real_media`."""
+    WAV/MP3/FLAC bytes) — the audio counterpart of `synth_real_media`."""
     return _synth_real_table(
         spark, n, synth_real_audio_payload, "audio", id_offset
     )
