@@ -37,17 +37,33 @@ from . import vocab
 # ---------------------------------------------------------------------------
 
 _ZEN2HAN = str.maketrans("０１２３４５６７８９", "0123456789")
+_ZEN_DIGITS = "０１２３４５６７８９"
 _RE_NLTAB = re.compile(r"[\n\t]+")
 _RE_WS = re.compile(r"\s+")
 
 
 def clean_text(text: object) -> str:
-    """Normalize newlines/tabs, collapse whitespace, zenkaku digits → ASCII."""
+    """Normalize newlines/tabs, collapse whitespace, zenkaku digits → ASCII.
+
+    Semantics are the reference port (see module docstring); the
+    implementation is optimized round 6, pytest-asserted byte-identical to
+    the two-sub + translate original (test_clean_text_optimized_identical):
+    - the `[\\n\\t]+ -> " "` pre-pass is provably redundant under the
+      following `\\s+ -> " "` pass (replacing a whitespace subset with a
+      space keeps every maximal whitespace run a run, so the second pass
+      produces the same string either way) — one regex pass instead of two;
+    - `str.translate` walks a codepoint->codepoint dict for EVERY char
+      (~17 us on a 1.5 KB page); a membership-gated `str.replace` chain
+      over the ten zenkaku digits does 10 C-level scans and copies only
+      when a digit is present (~3 us). Replacement chars are ASCII digits,
+      disjoint from the zenkaku source set, so chained replaces compose to
+      exactly the translate mapping."""
     if not isinstance(text, str):
         return ""
-    text = _RE_NLTAB.sub(" ", text)
     text = _RE_WS.sub(" ", text)
-    text = text.translate(_ZEN2HAN)
+    for i, zd in enumerate(_ZEN_DIGITS):
+        if zd in text:
+            text = text.replace(zd, chr(48 + i))
     return text.strip()
 
 
@@ -213,26 +229,85 @@ def get_extractor() -> Extractor:
     return _EXTRACTOR
 
 
+# Per-sentence extraction memo (round 6). Sentences repeat heavily in any
+# template-heavy corpus (boilerplate, generated reports): within one python
+# worker's partition ~60% of sentence instances are repeats at bench scale.
+# Entity/relation extraction is a pure function of the sentence, so the memo
+# is exact — a pytest compares memoized extract_triples against the
+# process_text contract on corpus + adversarial inputs. Bounded: once full,
+# new sentences are extracted without being stored (the high-frequency
+# sentences enter early), so worker memory stays O(_SENT_MEMO_MAX).
+_SENT_MEMO: dict[str, tuple[tuple, tuple]] = {}
+_SENT_MEMO_MAX = 200_000
+
+_INSTANCE_LABELS = frozenset(vocab.INSTANCE_LABELS)
+
+
+def _extract_sentence(ex: Extractor, sent: str) -> tuple[tuple, tuple]:
+    """((surface, label), ...), ((s, pred, o), ...) for one sentence —
+    the inner loops of Extractor.entities/relations with C-level
+    `findall` (tuple rows straight from the regex engine) instead of
+    per-match Match-object method calls; match order, labels and begin/end
+    invariance are pytest-asserted against the Match-object path."""
+    ents = []
+    for law, org, con in ex.ent_re.findall(sent):
+        # exactly one top-level alternative matches (patterns never match
+        # the empty string), mirroring Match.lastgroup
+        if law:
+            ents.append((law, "LAW"))
+        elif org:
+            ents.append((org, "ORG"))
+        else:
+            ents.append((con, "CONCEPT"))
+    rels = []
+    for pred, rx, sel in ex.rel_res:
+        if sel and sel not in sent:
+            continue  # literal prefilter — see Extractor.__init__
+        for s, o in rx.findall(sent):
+            rels.append((s, pred, o))
+    return tuple(ents), tuple(rels)
+
+
 def extract_triples(text: str, url: str) -> list[tuple[str, str, str, str]]:
     """Full per-page triple emission: template relations plus
     (org, instance_of, Organization) for ORG/LAW-routed entities
     (routing per /root/reference/scripts/06_ontology_construction.py:42-47,
-    add_instance per ontology.py:110)."""
+    add_instance per ontology.py:110). Equivalent to deriving the triples
+    from ``get_extractor().process_text(text)`` — the contract a pytest
+    asserts — but memoized per sentence and with the page-level dedup
+    inlined (the old path built per-entity dicts purely to re-read them)."""
     ex = get_extractor()
-    res = ex.process_text(text)
+    seen_e: set[tuple[str, str]] = set()
+    ent_out: list[tuple[str, str]] = []
+    seen_r: set[tuple[str, str, str]] = set()
+    rel_out: list[tuple[str, str, str]] = []
+    for sent in split_sentences(text):
+        hit = _SENT_MEMO.get(sent)
+        if hit is None:
+            hit = _extract_sentence(ex, sent)
+            if len(_SENT_MEMO) < _SENT_MEMO_MAX:
+                _SENT_MEMO[sent] = hit
+        ents, rels = hit
+        for ek in ents:
+            if ek not in seen_e:
+                seen_e.add(ek)
+                ent_out.append(ek)
+        for rk in rels:
+            if rk not in seen_r:
+                seen_r.add(rk)
+                rel_out.append(rk)
     triples: list[tuple[str, str, str, str]] = []
     seen: set[tuple[str, str, str]] = set()
-    for r in res["relations"]:
-        key = (r["source"], r["relation"], r["target"])
-        if key not in seen:
-            seen.add(key)
-            triples.append((r["source"], r["relation"], r["target"], url))
-    for e in res["entities"]:
-        if e["label"] in vocab.INSTANCE_LABELS:
-            key = (e["text"], "instance_of", "Organization")
+    for rk in rel_out:
+        if rk not in seen:
+            seen.add(rk)
+            triples.append((rk[0], rk[1], rk[2], url))
+    for surface, label in ent_out:
+        if label in _INSTANCE_LABELS:
+            key = (surface, "instance_of", "Organization")
             if key not in seen:
                 seen.add(key)
-                triples.append((e["text"], "instance_of", "Organization", url))
+                triples.append((surface, "instance_of", "Organization", url))
     return triples
 
 

@@ -214,30 +214,15 @@ def materialize_nodes_from_stats(stats: DataFrame, cmap: DataFrame,
     )
 
 
-def materialize_edges_preagg(linked: DataFrame, cmap: DataFrame,
-                             spark: SparkSession,
-                             broadcast_threshold: int = 2_000_000
-                             ) -> DataFrame:
-    """Edge build with the canonical rewrite pushed BELOW a raw-key partial
-    aggregation: groupBy the raw (subj, obj, pred) keys first (max/min of
-    confidence/url — the corpus collapses to its distinct raw triple keys,
-    ~6x fewer rows at bench scale), then resolve the canonical lookup and
-    ids on the aggregated side and re-aggregate. max-of-max / min-of-min
-    associativity makes this provably equal to
-    materialize_edges(rewrite_triples(linked, cmap), assume_closed=True)
-    (pytest asserts equality).
-
-    Measured warm-EQUAL to the classic path at bench scale (11.0 vs 9.7 s,
-    8 cores / 3M pages): the broadcast rewrite join is map-side and cheap,
-    so shrinking its input buys nothing, while the string-keyed first
-    shuffle costs what the id-keyed shuffle saved. The bench pipeline
-    therefore uses the classic path (whose scaled plan shape the small
-    warmup run also JIT-warms); this variant stays as the alternative for
-    inputs with heavy duplicate raw keys, where the pre-aggregation's
-    map-side combine would actually shrink the shuffle."""
-    _session.ensure_shipped(spark)
-    _, seed_edges = seed_graph(spark)
-    raw = linked.groupBy(
+def edges_raw_preagg(linked: DataFrame) -> DataFrame:
+    """Phase 1 of the pre-aggregated edge build: collapse the corpus to its
+    distinct raw (subj, obj, pred) keys (max confidence / min url partial
+    aggregates). Depends only on the linked triple stream — NOT on the
+    canonical map — so the pipeline runs this corpus-sized pass
+    CONCURRENTLY with canonicalization (guide §2.6: overlap independent
+    jobs) and only the vocabulary-sized `edges_resolve_preagg` remains on
+    the critical path after the map is ready."""
+    return linked.groupBy(
         F.col("subj").alias("src_name"),
         F.col("obj").alias("dst_name"),
         F.col("pred").alias("relation"),
@@ -245,6 +230,18 @@ def materialize_edges_preagg(linked: DataFrame, cmap: DataFrame,
         F.max("confidence").alias("confidence"),
         F.min("url").alias("url"),
     )
+
+
+def edges_resolve_preagg(raw: DataFrame, cmap: DataFrame,
+                         spark: SparkSession,
+                         broadcast_threshold: int = 2_000_000
+                         ) -> DataFrame:
+    """Phase 2 of the pre-aggregated edge build: union the ontology seed,
+    resolve the canonical lookup + deterministic ids, re-aggregate. Touches
+    only distinct-raw-key-scale rows (~2.3M at bench scale vs the 22M-row
+    corpus phase 1 already collapsed)."""
+    _session.ensure_shipped(spark)
+    _, seed_edges = seed_graph(spark)
     allr = raw.unionByName(
         seed_edges.withColumn("confidence", F.lit(1.0)).withColumn(
             "url", F.lit("seed://ontology")
@@ -273,6 +270,31 @@ def materialize_edges_preagg(linked: DataFrame, cmap: DataFrame,
         resolved.groupBy("src", "dst", "relation")
         .agg(F.max("confidence").alias("confidence"), F.min("url").alias("url"))
         .select("src", "dst", "relation", "confidence", "url")
+    )
+
+
+def materialize_edges_preagg(linked: DataFrame, cmap: DataFrame,
+                             spark: SparkSession,
+                             broadcast_threshold: int = 2_000_000
+                             ) -> DataFrame:
+    """Edge build with the canonical rewrite pushed BELOW a raw-key partial
+    aggregation: `edges_raw_preagg` (corpus → distinct raw triple keys)
+    composed with `edges_resolve_preagg` (canonical lookup + ids +
+    re-aggregation on the collapsed rows). max-of-max / min-of-min
+    associativity makes this provably equal to
+    materialize_edges(rewrite_triples(linked, cmap), assume_closed=True)
+    (pytest asserts equality).
+
+    Round-5 measurement: warm-EQUAL to the classic path when run
+    sequentially (11.0 vs 9.7 s, 8 cores / 3M pages) — the broadcast
+    rewrite join is map-side and cheap, so shrinking its input buys
+    nothing on its own. Round 6 splits the two phases so the pipeline can
+    run the corpus-sized phase 1 UNDER canonicalization (independent
+    lineages, guide §2.6); only the small phase 2 then remains after the
+    canonical map — that scheduling freedom, not the row-count reduction,
+    is what the pre-aggregation buys."""
+    return edges_resolve_preagg(
+        edges_raw_preagg(linked), cmap, spark, broadcast_threshold
     )
 
 

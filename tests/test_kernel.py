@@ -152,3 +152,125 @@ def test_minhash_batch_equals_scalar():
         assert kernel.band_hashes(batch[i], 16) == kernel.band_hashes(
             kernel.minhash_signature(s), 16
         )
+
+
+def test_clean_text_optimized_identical():
+    # round-6 optimization guard: clean_text's single-pass + gated-replace
+    # implementation must stay byte-identical to the original reference
+    # composition (NLTAB sub -> WS sub -> str.translate) on every input
+    # class: zenkaku digits, all whitespace kinds, ideographic space,
+    # control whitespace, mixed runs, and real synth pages.
+    _zen = str.maketrans("０１２３４５６７８９", "0123456789")
+    _nltab = re.compile(r"[\n\t]+")
+    _ws = re.compile(r"\s+")
+
+    def reference(text):
+        if not isinstance(text, str):
+            return ""
+        text = _nltab.sub(" ", text)
+        text = _ws.sub(" ", text)
+        text = text.translate(_zen)
+        return text.strip()
+
+    cases = [
+        "",
+        "a\n\tb",
+        "a \t\n　b\x0b\x0c c",
+        "１２３４５６７８９０",
+        "x２０２４年\n\n\t\tＹ１y1",
+        "　\u00a0\u3000mixed　nbsp\u00a0ends　",
+        "\x1c\x1d\x1e\x1f unicode ws",
+        "no-op ascii only",
+        "０a１b２c３d４e５f６g７h８i９j０",
+    ]
+    for i in range(200):
+        cases.append(kernel.extract_text(synth.make_page(i)["html"]))
+    for c in cases:
+        assert kernel.clean_text(c) == reference(c), repr(c[:80])
+    assert kernel.clean_text(None) == reference(None)
+    assert kernel.clean_text(3.5) == reference(3.5)
+
+
+def test_extract_triples_matches_process_text_contract():
+    # round-6 optimization guard: the memoized findall fast path of
+    # extract_triples must emit exactly the triples derivable from the
+    # process_text contract (same rows, same order), including on repeated
+    # sentences that exercise the memo-hit path.
+    def reference(text, url):
+        ex = kernel.get_extractor()
+        res = ex.process_text(text)
+        triples, seen = [], set()
+        for r in res["relations"]:
+            key = (r["source"], r["relation"], r["target"])
+            if key not in seen:
+                seen.add(key)
+                triples.append((r["source"], r["relation"], r["target"], url))
+        for e in res["entities"]:
+            if e["label"] in vocab.INSTANCE_LABELS:
+                key = (e["text"], "instance_of", "Organization")
+                if key not in seen:
+                    seen.add(key)
+                    triples.append(
+                        (e["text"], "instance_of", "Organization", url)
+                    )
+        return triples
+
+    n_groups = synth.default_groups(3_000_000)
+    texts = [
+        kernel.page_text(synth.make_page(i, 42, n_groups)["html"])
+        for i in range(300)
+    ]
+    # adversarial: duplicated sentences within and across pages (memo hits),
+    # duplicate triples inside one page, and an empty page
+    texts += [texts[0], texts[1] + texts[1], ""]
+    kernel._SENT_MEMO.clear()
+    for i, t in enumerate(texts):
+        url = f"u://{i}"
+        assert kernel.extract_triples(t, url) == reference(t, url)
+    # second pass: every sentence now memoized — results must not change
+    for i, t in enumerate(texts):
+        url = f"u://{i}"
+        assert kernel.extract_triples(t, url) == reference(t, url)
+
+
+def test_extract_sentence_matches_match_object_path():
+    # the findall fast path must agree with Extractor.entities/relations
+    # (Match-object API) per sentence, label included
+    ex = kernel.get_extractor()
+    n_groups = synth.default_groups(3_000_000)
+    sents = []
+    for i in range(200):
+        t = kernel.page_text(synth.make_page(i, 42, n_groups)["html"])
+        sents.extend(kernel.split_sentences(t))
+    assert sents
+    for s in sents:
+        ents, rels = kernel._extract_sentence(ex, s)
+        assert list(ents) == [
+            (surface, label) for surface, label, _, _ in ex.entities(s)
+        ]
+        assert list(rels) == ex.relations(s)
+
+
+def test_sent_memo_bounded():
+    # once full, the memo must stop growing but results stay correct
+    old_max = kernel._SENT_MEMO_MAX
+    try:
+        kernel._SENT_MEMO.clear()
+        kernel._SENT_MEMO_MAX = 5
+        outs = []
+        for i in range(30):
+            p = synth.make_page(i)
+            outs.append(
+                kernel.extract_triples(kernel.page_text(p["html"]), p["url"])
+            )
+        assert len(kernel._SENT_MEMO) <= 5
+    finally:
+        kernel._SENT_MEMO_MAX = old_max
+        kernel._SENT_MEMO.clear()
+    # identical output with the memo disabled entirely
+    for i, out in enumerate(list(range(30))):
+        p = synth.make_page(i)
+        assert (
+            kernel.extract_triples(kernel.page_text(p["html"]), p["url"])
+            == outs[i]
+        )
