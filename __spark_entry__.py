@@ -301,10 +301,11 @@ def _q33_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic media table through the deterministic fake decoder
     # UNION 30 real WAV/MP3/FLAC payloads through the NATIVE decoders
     # (full 8/16-bit PCM decode; MP3 parameters-only with NULL
-    # duration/rms; FLAC STREAMINFO with header-derivable duration)
+    # duration/rms; FLAC STREAMINFO with header-derivable duration).
+    # kind= pushes the selection below the generator (round 6): only the
+    # audio ids are synthesized instead of all 200 rows filtered to a third
     fake = multimodal.extract_audio_features(
-        multimodal.synth_media(spark, 200).filter(F.col("kind") == "audio"),
-        fake=True,
+        multimodal.synth_media(spark, 200, kind="audio"), fake=True,
     )
     real = multimodal.extract_audio_features(
         multimodal.synth_real_audio(spark, 30), fake=False
@@ -322,10 +323,10 @@ def _q34_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video counterpart of q15/q33: the opaque video rows of the synthetic
     # media table through the deterministic fake parser UNION 30 real MP4
     # payloads through the NATIVE ISO-BMFF box walk (mvhd duration, tkhd
-    # dimensions, both layout versions; audio-only files carry NULL dims)
+    # dimensions, both layout versions; audio-only files carry NULL dims).
+    # kind= pushes the selection below the generator (round 6), as in q33
     fake = multimodal.extract_video_features(
-        multimodal.synth_media(spark, 200).filter(F.col("kind") == "video"),
-        fake=True,
+        multimodal.synth_media(spark, 200, kind="video"), fake=True,
     )
     real = multimodal.extract_video_features(
         multimodal.synth_real_video(spark, 30), fake=False

@@ -44,9 +44,22 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic opaque-binary media table for plumbing tests."""
+def synth_media(spark: SparkSession, n: int, seed: int = 42,
+                kind: str | None = None) -> DataFrame:
+    """Deterministic opaque-binary media table for plumbing tests.
+
+    `kind` restricts generation to one media kind by filtering the id range
+    BEFORE the python generator (kind is a pure function of the id:
+    id % 3), so callers that need only e.g. the audio rows don't pay for
+    generating the other two thirds — the surviving rows are byte-identical
+    to filtering the full table afterwards (round-6 wiring; q33/q34)."""
     _session.ensure_shipped(spark)
+    id_range = spark.range(n)
+    if kind is not None:
+        kinds = ("image", "audio", "video")
+        if kind not in kinds:
+            raise ValueError(f"unknown media kind {kind!r}")
+        id_range = id_range.filter(F.col("id") % 3 == kinds.index(kind))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,7 +77,7 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return id_range.mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def synth_real_payload(i: int) -> tuple[bytes, str]:
@@ -260,6 +273,21 @@ def synth_real_media(spark: SparkSession, n: int,
     `synth_media`, so externally-checked artifacts exercise the native
     decoders, not just the synthetic stand-in."""
     return _synth_real_table(spark, n, synth_real_payload, "image", id_offset)
+
+
+def _check_payload_size(payload: bytes, max_payload_bytes: int) -> None:
+    """Fail-loud size guard for the native decode paths (round 6, verdict
+    item 3): the pure-python PNG filter-undo and GIF LZW loops are per-byte
+    — a multi-megapixel payload would stall an executor politely instead of
+    failing fast. Consistent with the decoders' truncation ValueErrors; the
+    caps default far above every legitimate fixture and are per-call
+    overridable."""
+    if payload is not None and len(payload) > max_payload_bytes:
+        raise ValueError(
+            f"media payload of {len(payload)} bytes exceeds "
+            f"max_payload_bytes={max_payload_bytes}; raise the cap "
+            "deliberately or pre-filter oversized payloads"
+        )
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, float]:
@@ -595,7 +623,9 @@ def _parse_webp_dims(b: bytes) -> tuple[int, int, None]:
 
 
 def decode_image(payload: bytes,
-                 fake: bool = False) -> tuple[int, int, float | None]:
+                 fake: bool = False,
+                 max_payload_bytes: int = 64 * 1024 * 1024
+                 ) -> tuple[int, int, float | None]:
     """(width, height, mean_luma). Real decode natively covers 24-bit
     uncompressed BMP, 8-bit gray/palette/RGB/RGBA non-interlaced PNG, and GIF
     (LZW + palette, first frame) — pure stdlib+numpy, no imaging library
@@ -610,6 +640,7 @@ def decode_image(payload: bytes,
         ht = 64 + h[1] % 192
         luma = sum(payload[:256]) / max(1, len(payload[:256])) / 255.0
         return w, ht, luma
+    _check_payload_size(payload, max_payload_bytes)
     if payload and payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -749,8 +780,9 @@ def _parse_flac_streaminfo(b: bytes) -> tuple[int, int, float | None, None]:
 
 
 def decode_audio(payload: bytes,
-                 fake: bool = False) -> tuple[int, int,
-                                              float | None, float | None]:
+                 fake: bool = False,
+                 max_payload_bytes: int = 256 * 1024 * 1024
+                 ) -> tuple[int, int, float | None, float | None]:
     """(sample_rate, n_channels, duration_sec, rms). Real decode natively
     covers RIFF/WAVE 8/16-bit PCM (pure stdlib+numpy); MP3 gets a
     parameters-only frame-header parse (duration/rms None — documented
@@ -766,6 +798,7 @@ def decode_audio(payload: bytes,
             (1 + h[2] % 30) / 10.0,
             h[3] / 255.0,
         )
+    _check_payload_size(payload, max_payload_bytes)
     if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     if payload and payload[:4] == b"fLaC":
@@ -953,7 +986,9 @@ def _parse_mp4_meta(b: bytes) -> tuple[int | None, int | None, float]:
 
 
 def decode_video(payload: bytes,
-                 fake: bool = False) -> tuple[int | None, int | None, float]:
+                 fake: bool = False,
+                 max_payload_bytes: int = 1024 * 1024 * 1024
+                 ) -> tuple[int | None, int | None, float]:
     """(width, height, duration_sec). Real parse natively covers MP4/MOV
     (ISO-BMFF box walk: mvhd duration, tkhd dimensions — no sample
     decode, so this is container metadata, the part a catalog pipeline
@@ -967,6 +1002,7 @@ def decode_video(payload: bytes,
             120 + h[1] * 8,
             (1 + h[2]) / 4.0,
         )
+    _check_payload_size(payload, max_payload_bytes)
     if payload and len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _parse_mp4_meta(payload)
     raise NotImplementedError(

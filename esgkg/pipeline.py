@@ -143,42 +143,11 @@ def build_kg(
         "Organization"
     ]
     if runner is None:
-        import time as _time
-        from concurrent.futures import ThreadPoolExecutor
-
-        # bench mode (round 6): the edge build's corpus-sized half — the
-        # raw (subj, obj, pred) pre-aggregation, which does NOT depend on
-        # the canonical map — is submitted on a second driver thread so it
-        # runs UNDER surface_stats + canonicalization (guide §2.6 overlap
-        # of independent jobs; FIFO scheduling lets each job back-fill the
-        # other's scheduling gaps). Only the vocabulary-sized resolve
-        # remains after the canonical map, taking the 22M-row scan+groupBy
-        # off the post-canon critical path. Parquet round-trip rather than
-        # localCheckpoint for the same reason as linked_triples: columnar
-        # scratch on tmpfs instead of deserialized rows on the JVM heap.
-        tail_pool = ThreadPoolExecutor(max_workers=2)
-
-        def make_raw_edges() -> DataFrame:
-            t0 = _time.time() if timing else 0.0
-            spark.sparkContext.setJobDescription("edges: raw preagg")
-            path = f"{scratch}/edges_raw"
-            graph.edges_raw_preagg(linked).write.mode("overwrite").parquet(
-                path
-            )
-            out = spark.read.parquet(path)
-            if timing:
-                LAST_TIMINGS.append(
-                    ("edges_raw_overlapped", round(_time.time() - t0, 3))
-                )
-            return out
-
-        f_raw_edges = tail_pool.submit(make_raw_edges)
-
-        # ONE corpus-sized explode+groupBy (surface_stats) feeds both
-        # canonicalization (whose distinct-surface pool is exactly this
-        # key set — its internal distinct becomes a no-op over the
-        # vocabulary) and the node build below. Before round 4 the canon
-        # stage and the node build each re-scanned the corpus.
+        # bench mode: ONE corpus-sized explode+groupBy (surface_stats)
+        # feeds both canonicalization (whose distinct-surface pool is
+        # exactly this key set — its internal distinct becomes a no-op
+        # over the vocabulary) and the node build below. Before round 4
+        # the canon stage and the node build each re-scanned the corpus.
         stats = stage("surface_stats", lambda: graph.surface_stats(linked))
         # assume_distinct: stats is a groupBy output (one row per surface by
         # construction) and already checkpointed — canonical_map skips its
@@ -228,19 +197,21 @@ def build_kg(
         )
 
     if runner is None:
-        # bench mode: the corpus-sized work for nodes already happened in
-        # surface_stats, so the node build is a vocabulary-sized join chain
-        # (milliseconds; pytest-asserted equal to the generic
-        # materialize_nodes(rewrite(...)) path). Edges finish from the
-        # OVERLAPPED raw pre-aggregation above: union seed + canonical
-        # resolve + re-aggregate over ~2.3M distinct raw keys instead of
-        # the classic 22M-row rewrite-join+groupBy that round 5 ran here
-        # (pytest asserts the preagg composition equals the classic path).
-        # Round 5 had rejected the preagg variant because the 20k-page
-        # warmup did not JIT its scaled plan shape; the warmup now runs
-        # this exact code path, so that objection is gone. The two plans
-        # are independent — two driver threads let the scheduler backfill
-        # each job's scheduling gaps with the other's tasks.
+        # bench mode (round 4): the corpus-sized work for nodes already
+        # happened in surface_stats, so the node build is a vocabulary-sized
+        # join chain (milliseconds; pytest-asserted equal to the generic
+        # materialize_nodes(rewrite(...)) path). Edges keep the classic
+        # rewrite-join + id-hash + id-key groupBy plan: the raw-string-key
+        # pre-aggregation variant (graph.materialize_edges_preagg) measured
+        # warm-equal (11.0 vs 9.7 s at 8c/3M) but its scaled plan shape is
+        # NOT warmed by the 20k-page warmup run (52 s first execution), so
+        # the classic path is strictly better under the bench protocol.
+        # The two plans are independent — two driver threads let the
+        # scheduler backfill each job's scheduling gaps with the other's
+        # tasks.
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
         t0 = _time.time()
 
         def make_nodes() -> DataFrame:
@@ -250,16 +221,15 @@ def build_kg(
             # parquet round-trip, not localCheckpoint: 1.6M+ checkpointed
             # rows live deserialized on the JVM heap (measured ~2x the cost
             # of a columnar write at bench scale); /dev/shm keeps it RAM-speed
-            raw_edges = f_raw_edges.result()
-            e = graph.edges_resolve_preagg(raw_edges, cmap, spark)
+            e = graph.materialize_edges(triples, spark, assume_closed=True)
             path = f"{scratch}/edges"
             e.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
 
-        f_nodes = tail_pool.submit(make_nodes)
-        f_edges = tail_pool.submit(make_edges)
-        nodes, edges = f_nodes.result(), f_edges.result()
-        tail_pool.shutdown()
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(make_nodes)
+            f_edges = pool.submit(make_edges)
+            nodes, edges = f_nodes.result(), f_edges.result()
         if timing:
             LAST_TIMINGS.append(("nodes_edges", round(_time.time() - t0, 3)))
     else:

@@ -203,7 +203,20 @@ def bipartite_adamic_adar(edges: DataFrame, left: str, right: str,
         deg = F.broadcast(deg)
     par = edges.sparkSession.sparkContext.defaultParallelism
     ed = e.join(deg, "p").repartition(par, "p")
-    l, r = ed.alias("l"), ed.alias("r")
+    l = ed.alias("l")
+    # size-gated shuffled-hash join for the pair self-join (guide §3.1):
+    # both sides are co-partitioned on p, so SHJ replaces the two
+    # sort-merge Sorts with one per-partition hash build — measured ~6%
+    # faster warm and 2.5x faster on the cold first execution (no sort
+    # codegen to JIT) at sf0.1, identical rows. Gated by the same edge
+    # count as the degree broadcast: above the threshold a partition's
+    # build side is no longer provably small, and sort-merge's graceful
+    # spill is worth the sorts.
+    r = (
+        ed.hint("shuffle_hash").alias("r")
+        if n_e <= broadcast_threshold
+        else ed.alias("r")
+    )
     return (
         l.join(r, (F.col("l.p") == F.col("r.p")) & (F.col("l.c") < F.col("r.c")))
         .select(

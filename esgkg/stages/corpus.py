@@ -86,34 +86,36 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, schema=TEXT_SCHEMA)
 
 
+_WRAP_PREFIX = (
+    "<html><head><style>p{margin:0}</style>"
+    "<script>var i=1&amp;&lt;2;</script></head>"
+    "<body><!-- doc --><div><p>\n\t"
+)
+_WRAP_SUFFIX = "\n</p></div></body></html>"
+
+
 def wrap_documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a pages-shaped table from the driver's read-only documents
     parquet: deterministic HTML wrapping of each document's text. Used by the
     externally-checked extraction roundtrip query (the DuckDB oracle is just
     ``SELECT doc_id, text FROM documents`` — extraction must invert the
-    wrapper exactly)."""
-    _session.ensure_shipped(spark)
+    wrapper exactly).
+
+    The wrapper is a fixed prefix + text + fixed suffix, so it compiles to
+    JVM concat + UTF-8 encode (round 6; previously a mapInPandas stage).
+    Consumers that feed the bytes to the python extraction kernel now pay
+    ONE JVM→python hop instead of two — the wrap stage's Arrow round-trip
+    (ship text out, ship wrapped bytes back) was pure overhead. Bytes are
+    identical: Spark's encode(.., 'UTF-8') and Python's str.encode('utf-8')
+    produce the same octets for any valid string."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            html = [
-                (
-                    "<html><head><style>p{margin:0}</style>"
-                    "<script>var i=1&amp;&lt;2;</script></head>"
-                    f"<body><!-- doc --><div><p>\n\t{t}\n</p></div></body></html>"
-                ).encode("utf-8")
-                for t in pdf["text"]
-            ]
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "html": html, "lang": pdf["lang"]}
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), True),
-            T.StructField("html", T.BinaryType(), True),
-            T.StructField("lang", T.StringType(), True),
-        ]
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit(_WRAP_PREFIX), F.col("text"), F.lit(_WRAP_SUFFIX)
+            ),
+            "UTF-8",
+        ).alias("html"),
+        "lang",
     )
-    return docs.select("doc_id", "text", "lang").mapInPandas(wrap, schema=schema)

@@ -218,10 +218,15 @@ def edges_raw_preagg(linked: DataFrame) -> DataFrame:
     """Phase 1 of the pre-aggregated edge build: collapse the corpus to its
     distinct raw (subj, obj, pred) keys (max confidence / min url partial
     aggregates). Depends only on the linked triple stream — NOT on the
-    canonical map — so the pipeline runs this corpus-sized pass
-    CONCURRENTLY with canonicalization (guide §2.6: overlap independent
-    jobs) and only the vocabulary-sized `edges_resolve_preagg` remains on
-    the critical path after the map is ready."""
+    canonical map — so in principle it can run concurrently with
+    canonicalization (guide §2.6). The round-6 pipeline TRIED exactly that
+    and reverted after measurement: this pass shuffles raw surface STRINGS
+    for the whole corpus (53 s at 8c/3M vs 20 s for the classic broadcast-
+    rewrite + 8-byte-id groupBy it would replace), and while running it
+    starved the concurrent surface_stats job 8.8 → 46.7 s — the string
+    shuffle costs more than the overlap hides. Kept split from
+    `edges_resolve_preagg` for inputs with heavy duplicate raw keys, where
+    the collapse genuinely shrinks the shuffle."""
     return linked.groupBy(
         F.col("subj").alias("src_name"),
         F.col("obj").alias("dst_name"),
@@ -286,13 +291,12 @@ def materialize_edges_preagg(linked: DataFrame, cmap: DataFrame,
     (pytest asserts equality).
 
     Round-5 measurement: warm-EQUAL to the classic path when run
-    sequentially (11.0 vs 9.7 s, 8 cores / 3M pages) — the broadcast
-    rewrite join is map-side and cheap, so shrinking its input buys
-    nothing on its own. Round 6 splits the two phases so the pipeline can
-    run the corpus-sized phase 1 UNDER canonicalization (independent
-    lineages, guide §2.6); only the small phase 2 then remains after the
-    canonical map — that scheduling freedom, not the row-count reduction,
-    is what the pre-aggregation buys."""
+    sequentially (11.0 vs 9.7 s, 8 cores / 3M pages). Round 6 split the
+    phases and ran phase 1 UNDER canonicalization on a second driver
+    thread — measured WORSE and reverted (see edges_raw_preagg: the
+    string-keyed corpus shuffle costs more than the overlap hides). The
+    bench pipeline uses the classic materialize_edges(assume_closed) path;
+    this variant remains for duplicate-heavy inputs."""
     return edges_resolve_preagg(
         edges_raw_preagg(linked), cmap, spark, broadcast_threshold
     )

@@ -738,3 +738,43 @@ def test_decode_image_webp_dims():
         multimodal.decode_image(riff(b"VP8 ", bytes(10)), fake=False)
     with pytest.raises(ValueError, match="unknown WebP chunk"):
         multimodal.decode_image(riff(b"ANMF", bytes(10)), fake=False)
+
+
+def test_decode_payload_size_guard():
+    # round-6 guard (verdict item 3): the per-byte python decode loops must
+    # fail loud on oversized payloads instead of stalling an executor. A
+    # valid-magic payload over the cap raises ValueError BEFORE any decode
+    # work; under the cap the decoders behave as before; the fake path is
+    # unaffected (it reads a 256-byte prefix only).
+    import pytest
+
+    big_bmp = b"BM" + bytes(100)
+    with pytest.raises(ValueError, match="max_payload_bytes"):
+        multimodal.decode_image(big_bmp, fake=False, max_payload_bytes=50)
+    with pytest.raises(ValueError, match="max_payload_bytes"):
+        multimodal.decode_audio(
+            b"RIFF\x00\x00\x00\x00WAVE" + bytes(100),
+            fake=False, max_payload_bytes=50,
+        )
+    with pytest.raises(ValueError, match="max_payload_bytes"):
+        multimodal.decode_video(
+            bytes(4) + b"ftyp" + bytes(100),
+            fake=False, max_payload_bytes=50,
+        )
+    # under the cap: unchanged behavior (real payload decodes, fake ignores)
+    payload, _ = multimodal.synth_real_payload(0)
+    assert multimodal.decode_image(payload, fake=False)[0] == 4
+    assert multimodal.decode_image(bytes(10**6), fake=True)[0] >= 64
+
+
+def test_synth_media_kind_pushdown(spark):
+    # round-6 wiring (verdict item 5): synth_media(kind=...) must produce
+    # exactly the rows of the full table filtered to that kind
+    full = multimodal.synth_media(spark, 45).filter("kind = 'audio'").collect()
+    only = multimodal.synth_media(spark, 45, kind="audio").collect()
+    key = lambda r: r.media_id  # noqa: E731
+    assert sorted(only, key=key) == sorted(full, key=key)
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown media kind"):
+        multimodal.synth_media(spark, 10, kind="hologram")
