@@ -124,7 +124,9 @@ _RE_SENT = re.compile(r"(?<=[。．！？!?.])\s*")
 
 
 def split_sentences(text: str) -> list[str]:
-    return [s.strip() for s in _RE_SENT.split(text) if s.strip()]
+    # walrus keeps one strip per part (the old comprehension stripped twice:
+    # once for the emptiness test, once for the emitted value)
+    return [t for s in _RE_SENT.split(text) if (t := s.strip())]
 
 
 # ---------------------------------------------------------------------------
@@ -277,32 +279,29 @@ def extract_triples(text: str, url: str) -> list[tuple[str, str, str, str]]:
     asserts — but memoized per sentence and with the page-level dedup
     inlined (the old path built per-entity dicts purely to re-read them)."""
     ex = get_extractor()
-    seen_e: set[tuple[str, str]] = set()
-    ent_out: list[tuple[str, str]] = []
-    seen_r: set[tuple[str, str, str]] = set()
-    rel_out: list[tuple[str, str, str]] = []
+    memo_get = _SENT_MEMO.get
+    all_ents: list[tuple[str, str]] = []
+    all_rels: list[tuple[str, str, str]] = []
     for sent in split_sentences(text):
-        hit = _SENT_MEMO.get(sent)
+        hit = memo_get(sent)
         if hit is None:
             hit = _extract_sentence(ex, sent)
             if len(_SENT_MEMO) < _SENT_MEMO_MAX:
                 _SENT_MEMO[sent] = hit
         ents, rels = hit
-        for ek in ents:
-            if ek not in seen_e:
-                seen_e.add(ek)
-                ent_out.append(ek)
-        for rk in rels:
-            if rk not in seen_r:
-                seen_r.add(rk)
-                rel_out.append(rk)
-    triples: list[tuple[str, str, str, str]] = []
-    seen: set[tuple[str, str, str]] = set()
-    for rk in rel_out:
-        if rk not in seen:
-            seen.add(rk)
-            triples.append((rk[0], rk[1], rk[2], url))
-    for surface, label in ent_out:
+        if ents:
+            all_ents.extend(ents)
+        if rels:
+            all_rels.extend(rels)
+    # page-level dedup in C: dict.fromkeys keeps first-occurrence order
+    # (exactly the old per-element seen-set loops); `seen` starts as the
+    # full relation key set — identical to the state the old code reached
+    # before the entity pass, since relation keys are unique by then
+    triples: list[tuple[str, str, str, str]] = [
+        (s, p, o, url) for s, p, o in dict.fromkeys(all_rels)
+    ]
+    seen: set[tuple[str, str, str]] = set(all_rels)
+    for surface, label in dict.fromkeys(all_ents):
         if label in _INSTANCE_LABELS:
             key = (surface, "instance_of", "Organization")
             if key not in seen:

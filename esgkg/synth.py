@@ -151,54 +151,80 @@ def _org_en_aliases(gid: int) -> tuple[str, ...]:
     return tuple(sorted(r.sample(_EN_ALIASES, 16)))
 
 
+def _rb(grb, n: int) -> int:
+    """Exact inline of CPython's ``Random._randbelow_with_getrandbits``
+    (random.py, unchanged since 3.2): draw ``bit_length(n)`` bits, reject
+    while >= n. ``Random.choice/randrange/randint`` are thin python wrappers
+    around this one primitive, so calling it directly on the bound
+    ``getrandbits`` consumes the SAME entropy stream in the SAME order —
+    byte-identical pages (pytest-asserted against the stock-Random
+    composition) minus two python frames per draw (~40% of make_page)."""
+    k = n.bit_length()
+    r = grb(k)
+    while r >= n:
+        r = grb(k)
+    return r
+
+
+_YEARS = ("２０２４年", "2024年", "２０２３年")
+_PADS = ("", "\n\t", "  ", "\n\n\t\t")
+
+
 def make_page(page_id: int, seed: int = SEED, n_groups: int = 88) -> dict:
     """Pure function (seed, page_id, n_groups) -> pages row."""
     rng = random.Random((seed << 20) ^ page_id)
+    grb = rng.getrandbits
+    rnd = rng.random
     groups = company_pool(n_groups)
     gid = page_id % len(groups)
     grp = groups[gid]
-    company = grp[rng.randrange(len(grp))]
-    lang = "en" if company[0].isascii() and rng.random() < 0.7 else "ja"
+    company = grp[_rb(grb, len(grp))]          # rng.randrange(len(grp))
+    lang = "en" if company[0].isascii() and rnd() < 0.7 else "ja"
     concepts = _org_concepts(gid)
     en_aliases = _org_en_aliases(gid)
+    templates = vocab.RELATION_TEMPLATES
+    n_tpl = len(templates)
+    laws = vocab.LAWS
+    n_laws = len(laws)
 
     sentences: list[str] = []
-    n_rel = rng.randint(3, 8)
+    n_rel = 3 + _rb(grb, 6)                    # rng.randint(3, 8)
     for _ in range(n_rel):
-        pred, ja_tpl, en_tpl = vocab.RELATION_TEMPLATES[
-            rng.randrange(len(vocab.RELATION_TEMPLATES))
-        ]
+        pred, ja_tpl, en_tpl = templates[_rb(grb, n_tpl)]
         if lang == "ja":
-            s = company if rng.random() < 0.4 else rng.choice(concepts)
+            s = company if rnd() < 0.4 else concepts[_rb(grb, 24)]
             if pred == "regulated_by":
-                o = rng.choice(vocab.LAWS)
+                o = laws[_rb(grb, n_laws)]
             elif pred == "measured_by":
-                o = rng.choice(_METRICS)
+                o = _METRICS[_rb(grb, 6)]
             else:
-                o = rng.choice(concepts)
+                o = concepts[_rb(grb, 24)]
             sentences.append(ja_tpl.format(s=s, o=o))
         else:
-            s = company if rng.random() < 0.4 else rng.choice(en_aliases)
-            o = rng.choice(en_aliases)
+            s = company if rnd() < 0.4 else en_aliases[_rb(grb, 16)]
+            o = en_aliases[_rb(grb, 16)]
             if pred == "regulated_by":
-                o = rng.choice(vocab.LAWS)
+                o = laws[_rb(grb, n_laws)]
             sentences.append(en_tpl.format(s=s, o=o))
-    # filler + zenkaku digits exercise clean_text
+    # filler + zenkaku digits exercise clean_text (argument order of the
+    # original ``insert(randrange(...), choice(...))`` call preserved:
+    # position draw first, filler draw second)
     filler = _FILLER_JA if lang == "ja" else _FILLER_EN
-    sentences.insert(rng.randrange(len(sentences) + 1), rng.choice(filler))
-    year = rng.choice(["２０２４年", "2024年", "２０２３年"])
+    pos = _rb(grb, len(sentences) + 1)
+    sentences.insert(pos, filler[_rb(grb, len(filler))])
+    year = _YEARS[_rb(grb, 3)]
     sentences.append(f"{year}のESG活動報告。" if lang == "ja"
                      else f"ESG report {year}.")
 
     paras = []
     for s in sentences:
-        pad = rng.choice(["", "\n\t", "  ", "\n\n\t\t"])
+        pad = _PADS[_rb(grb, 4)]
         paras.append(f"<p>{pad}{s}{pad}</p>")
     body = "\n".join(paras)
     html = (
         "<html><head><title>ESG Report</title>"
         "<style>body{font:12px}</style>"
-        f"<script>var x = {rng.randrange(1000)}; if (x &lt; 3) x++;</script>"
+        f"<script>var x = {_rb(grb, 1000)}; if (x &lt; 3) x++;</script>"
         "</head><body>\n"
         "<!-- generated report -->\n"
         f"<div class='main'><h1>{company} &amp; ESG</h1>\n{body}\n</div>"

@@ -78,6 +78,92 @@ def test_synth_determinism():
     assert a["html"] != synth.make_page(18)["html"]
 
 
+def _make_page_stock_random(page_id, seed=42, n_groups=88):
+    """The pre-round-6 make_page composition verbatim: stock Random method
+    calls (choice/randrange/randint). The optimized make_page inlines
+    CPython's _randbelow_with_getrandbits on the bound getrandbits, which
+    must consume the identical entropy stream — this reference pins that."""
+    import datetime
+    import random
+
+    rng = random.Random((seed << 20) ^ page_id)
+    groups = synth.company_pool(n_groups)
+    gid = page_id % len(groups)
+    grp = groups[gid]
+    company = grp[rng.randrange(len(grp))]
+    lang = "en" if company[0].isascii() and rng.random() < 0.7 else "ja"
+    concepts = synth._org_concepts(gid)
+    en_aliases = synth._org_en_aliases(gid)
+    sentences = []
+    n_rel = rng.randint(3, 8)
+    for _ in range(n_rel):
+        pred, ja_tpl, en_tpl = vocab.RELATION_TEMPLATES[
+            rng.randrange(len(vocab.RELATION_TEMPLATES))
+        ]
+        if lang == "ja":
+            s = company if rng.random() < 0.4 else rng.choice(concepts)
+            if pred == "regulated_by":
+                o = rng.choice(vocab.LAWS)
+            elif pred == "measured_by":
+                o = rng.choice(synth._METRICS)
+            else:
+                o = rng.choice(concepts)
+            sentences.append(ja_tpl.format(s=s, o=o))
+        else:
+            s = company if rng.random() < 0.4 else rng.choice(en_aliases)
+            o = rng.choice(en_aliases)
+            if pred == "regulated_by":
+                o = rng.choice(vocab.LAWS)
+            sentences.append(en_tpl.format(s=s, o=o))
+    filler = synth._FILLER_JA if lang == "ja" else synth._FILLER_EN
+    sentences.insert(rng.randrange(len(sentences) + 1), rng.choice(filler))
+    year = rng.choice(["２０２４年", "2024年", "２０２３年"])
+    sentences.append(
+        f"{year}のESG活動報告。" if lang == "ja" else f"ESG report {year}."
+    )
+    paras = []
+    for s in sentences:
+        pad = rng.choice(["", "\n\t", "  ", "\n\n\t\t"])
+        paras.append(f"<p>{pad}{s}{pad}</p>")
+    body = "\n".join(paras)
+    html = (
+        "<html><head><title>ESG Report</title>"
+        "<style>body{font:12px}</style>"
+        f"<script>var x = {rng.randrange(1000)}; if (x &lt; 3) x++;</script>"
+        "</head><body>\n"
+        "<!-- generated report -->\n"
+        f"<div class='main'><h1>{company} &amp; ESG</h1>\n{body}\n</div>"
+        "</body></html>"
+    )
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+        minutes=(page_id * 37) % (60 * 24 * 365)
+    )
+    return {
+        "url": f"https://example.org/esg/{page_id}",
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": None,
+        "lang": lang,
+    }
+
+
+def test_make_page_inlined_randbelow_identical():
+    """Round-6 opt: make_page with the inlined _randbelow must be
+    byte-identical to the stock-Random composition — every draw site, both
+    languages, variable-length draws (filler insert position), large ids,
+    and the scaled org pool."""
+    ids = (
+        list(range(600))
+        + [10**6 + i * 7919 for i in range(200)]
+        + [2**31 - 1 - i for i in range(50)]
+    )
+    for i in ids:
+        for seed, ng in ((42, 88), (7, 88), (42, 16384)):
+            assert synth.make_page(i, seed, ng) == _make_page_stock_random(
+                i, seed, ng
+            ), (i, seed, ng)
+
+
 def test_minhash_stability_and_similarity():
     s1 = kernel.minhash_signature("アクメ電力株式会社")
     s2 = kernel.minhash_signature("アクメ電力株式会社")
