@@ -92,7 +92,11 @@ def build_kg(
 
     timing = os.environ.get("ESGKG_STAGE_TIMING") == "1"
 
-    def stage(name: str, make, partition_by=None) -> DataFrame:
+    def stage(name: str, make, partition_by=None, widen=None) -> DataFrame:
+        """`widen`: optional lazy projection applied AFTER the
+        materialization point (bench mode), so columns that are pure
+        functions of stored ones (e.g. the linked url) are recomputed by
+        codegen on each scan instead of being stored/shipped."""
         import time as _time
 
         t0 = _time.time() if timing else 0.0
@@ -108,6 +112,8 @@ def build_kg(
                 out = df.persist()
         else:
             out = runner.run_stage(name, fp, make, partition_by=partition_by)
+        if widen is not None:
+            out = widen(out)
         if timing:
             LAST_TIMINGS.append((name, round(_time.time() - t0, 3)))
         return out
@@ -119,9 +125,15 @@ def build_kg(
         # socket traffic); text/raw stay available as lazy views
         text = stage("text", lambda: corpus.extract_text(pages))
         raw = stage("raw_triples", lambda: nlp.extract_triples(text))
+        # narrow rows (subj, pred, obj, pid) cross the Arrow boundary and
+        # land in the parquet scratch; url/confidence are reattached as a
+        # lazy JVM projection on the scan side (nlp.widen_linked) — the
+        # byte-identical full TRIPLES_SCHEMA rows, minus ~35 B/row of url
+        # string through Arrow, the write, and every downstream scan
         linked = stage(
             "linked_triples",
-            lambda: nlp.synth_linked_triples(spark, n_pages, seed),
+            lambda: nlp.synth_linked_narrow(spark, n_pages, seed),
+            widen=nlp.widen_linked,
         )
         # Explicit full GC after the map phase: the fused extraction job
         # leaves the (shared local-mode) JVM heap full of dead shuffle and

@@ -95,15 +95,27 @@ def extract_triples(text_df: DataFrame) -> DataFrame:
     return text_df.select("url", "text").mapInPandas(run, schema=TRIPLES_SCHEMA)
 
 
-def synth_linked_triples(spark, n: int, seed: int = 42,
-                         partitions: int | None = None) -> DataFrame:
-    """Fused map chain for the bench/throughput path: page synthesis →
-    HTML→text extraction → triple extraction → dictionary linking in ONE
-    Arrow pass. The modular stages (corpus.synth_pages → corpus.extract_text
-    → extract_triples → link_triples) compute exactly the same rows — pytest
-    asserts the equivalence — but each mapInPandas hop ships the full corpus
-    JVM↔python once; fusing the linear chain cuts that socket traffic 4x
-    (measured: the unfused chain was system-CPU-bound at local[32])."""
+NARROW_TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), True),
+        T.StructField("pred", T.StringType(), True),
+        T.StructField("obj", T.StringType(), True),
+        T.StructField("pid", T.LongType(), True),
+    ]
+)
+
+
+def synth_linked_narrow(spark, n: int, seed: int = 42,
+                        partitions: int | None = None) -> DataFrame:
+    """Narrow half of the fused bench map chain: page synthesis → HTML→text
+    extraction → triple extraction → dictionary linking in ONE Arrow pass,
+    emitting (subj, pred, obj, pid). The synthetic url and confidence
+    columns of the full TRIPLES_SCHEMA are pure functions of the page id
+    (url = synth.URL_PREFIX + pid, confidence = 1.0), so they are reattached
+    by `widen_linked` as JVM codegen instead of crossing the Arrow boundary
+    as per-row python strings (guide §2.3/§4.1: shuffle/ship keys, not
+    payloads you can recompute) — ~35 bytes/row of url string stay out of
+    the python→JVM transfer and, in bench mode, out of the parquet scratch."""
     _session.ensure_shipped(spark)
     parts = partitions or spark.sparkContext.defaultParallelism
     from esgkg import synth as _synth
@@ -132,17 +144,65 @@ def synth_linked_triples(spark, n: int, seed: int = 42,
             return hit
 
         for pdf in batches:
-            rows = []
+            # column lists, not row tuples: pd.DataFrame(dict-of-lists)
+            # skips the object-array transpose of the row-tuple constructor
+            subs: list[str] = []
+            prs: list[str] = []
+            objs: list[str] = []
+            pids: list[int] = []
             for i in pdf["id"]:
-                p = synth.make_page(int(i), seed, n_groups)
+                ii = int(i)
+                p = synth.make_page(ii, seed, n_groups)
                 text = kernel.page_text(p["html"])
-                for s, pr, o, u in kernel.extract_triples(text, p["url"]):
-                    rows.append((link(s), pr, link(o), u, 1.0))
-            yield pd.DataFrame(rows, columns=[f.name for f in TRIPLES_SCHEMA])
+                for s, pr, o, _u in kernel.extract_triples(text, p["url"]):
+                    subs.append(link(s))
+                    prs.append(pr)
+                    objs.append(link(o))
+                    pids.append(ii)
+            yield pd.DataFrame(
+                {
+                    "subj": subs,
+                    "pred": prs,
+                    "obj": objs,
+                    "pid": np.asarray(pids, dtype=np.int64),
+                }
+            )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(
-        run, schema=TRIPLES_SCHEMA
+        run, schema=NARROW_TRIPLES_SCHEMA
     )
+
+
+def widen_linked(narrow: DataFrame) -> DataFrame:
+    """(subj, pred, obj, pid) → full TRIPLES_SCHEMA rows. url/confidence are
+    deterministic functions of pid (see synth.make_page), built as JVM
+    concat/lit — byte-identical to the python f-string for any non-negative
+    id (cast(long as string) is plain decimal)."""
+    from esgkg import synth as _synth
+
+    return narrow.select(
+        "subj",
+        "pred",
+        "obj",
+        F.concat(
+            F.lit(_synth.URL_PREFIX), F.col("pid").cast("string")
+        ).alias("url"),
+        F.lit(1.0).alias("confidence"),
+    )
+
+
+def synth_linked_triples(spark, n: int, seed: int = 42,
+                         partitions: int | None = None) -> DataFrame:
+    """Fused map chain for the bench/throughput path: page synthesis →
+    HTML→text extraction → triple extraction → dictionary linking in ONE
+    Arrow pass. The modular stages (corpus.synth_pages → corpus.extract_text
+    → extract_triples → link_triples) compute exactly the same rows — pytest
+    asserts the equivalence — but each mapInPandas hop ships the full corpus
+    JVM↔python once; fusing the linear chain cuts that socket traffic 4x
+    (measured: the unfused chain was system-CPU-bound at local[32]).
+    Composition of `synth_linked_narrow` (python workers emit narrow rows)
+    and `widen_linked` (url/confidence reattached as JVM codegen)."""
+    return widen_linked(synth_linked_narrow(spark, n, seed, partitions))
 
 
 def link_surfaces(df: DataFrame, col: str, out_col: str,

@@ -22,6 +22,11 @@ from . import vocab
 
 SEED = 42
 
+# Page url prefix: url == URL_PREFIX + str(page_id). Kept as a named
+# constant so the bench map chain can rebuild the url column in the JVM
+# (nlp.widen_linked) instead of shipping it per triple row over Arrow.
+URL_PREFIX = "https://example.org/esg/"
+
 # ~1 org per this many pages when the pool scales with corpus size
 PAGES_PER_ORG = 100
 
@@ -234,7 +239,7 @@ def make_page(page_id: int, seed: int = SEED, n_groups: int = 88) -> dict:
         minutes=(page_id * 37) % (60 * 24 * 365)
     )
     return {
-        "url": f"https://example.org/esg/{page_id}",
+        "url": f"{URL_PREFIX}{page_id}",
         "warc_ts": ts,
         "html": html.encode("utf-8"),
         "text": None,

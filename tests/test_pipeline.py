@@ -93,6 +93,26 @@ def test_fused_equals_modular(spark, text_df):
     assert fused == modular
 
 
+def test_narrow_widen_roundtrip_equals_fused(spark, text_df, tmp_path):
+    """The bench-mode materialization path (narrow (subj,pred,obj,pid) rows
+    → parquet → widen_linked JVM projection) must reproduce the fused
+    stage's full TRIPLES_SCHEMA rows exactly — url string formatting and
+    confidence included — and the full fused output must equal the modular
+    chain (covered by test_fused_equals_modular)."""
+    path = str(tmp_path / "narrow")
+    nlp.synth_linked_narrow(spark, N).write.parquet(path)
+    widened = nlp.widen_linked(spark.read.parquet(path))
+    assert [f.name for f in widened.schema.fields] == [
+        "subj", "pred", "obj", "url", "confidence"
+    ]
+    got = {tuple(r) for r in widened.collect()}
+    want = {
+        tuple(r)
+        for r in nlp.link_triples(nlp.extract_triples(text_df)).collect()
+    }
+    assert got == want
+
+
 def test_canonical_map_local_equals_distributed(spark, text_df):
     linked = nlp.link_triples(nlp.extract_triples(text_df))
     surfaces = (
